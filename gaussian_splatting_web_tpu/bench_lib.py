@@ -1,0 +1,120 @@
+"""Benchmark harness (shared by repo-root bench.py and the CLI `bench`).
+
+Measures, on the current default JAX device:
+  * forward render throughput (Mpix/s) at the target resolution,
+  * forward+backward throughput,
+  * bin+sort throughput (M splats/s).
+
+With no PLY given, a 100k-gaussian synthetic scene is used so the benchmark
+is self-contained (the reference ships only toy scenes; its large blobs are
+stripped — .MISSING_LARGE_BLOBS).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from typing import Optional
+
+import numpy as np
+
+BASELINE_MPIXPS = 60.0  # 30 fps @ 1080p — "interactive" north star (BASELINE.md)
+
+
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def make_scene(n, seed=0, sh_degree=3):
+    from .core.types import GaussianCloud
+
+    rng = np.random.default_rng(seed)
+    k = {0: 1, 1: 4, 2: 9, 3: 16}[sh_degree]
+    q = rng.normal(size=(n, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return GaussianCloud(
+        xyz=(rng.normal(size=(n, 3)) * 2.0).astype(np.float32),
+        log_scale=rng.uniform(-4.5, -2.5, size=(n, 3)).astype(np.float32),
+        quat=q,
+        opacity_logit=rng.uniform(-3, 1, size=(n,)).astype(np.float32),
+        sh=rng.normal(scale=0.3, size=(n, k, 3)).astype(np.float32),
+    )
+
+
+def run(
+    ply: Optional[str] = None,
+    width: int = 1920,
+    height: int = 1080,
+    n_synthetic: int = 100_000,
+    emit_json: bool = True,
+) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from .utils.metrics import enable_compile_cache
+
+    enable_compile_cache()
+
+    from .config import RenderConfig
+    from .core import camera as cam
+    from .io.ply import read_ply
+    from .ops.projection import project_gaussians
+    from .ops.rasterize import render_impl
+    from .ops.sort import bin_splats
+    from .utils.metrics import time_fn
+
+    config = RenderConfig(max_dup=32, max_per_tile=512, tile_chunk=32)
+
+    _log(f"platform={jax.default_backend()} devices={jax.devices()}")
+    if ply:
+        cloud = read_ply(ply)
+        lo, hi = cloud.bbox()
+        center = (np.asarray(lo) + np.asarray(hi)) / 2
+        eye = center + np.array([0, 0, -5.0])
+    else:
+        cloud = make_scene(n_synthetic)
+        center = np.zeros(3)
+        eye = np.array([0, 0, -8.0])
+    n = cloud.num_gaussians
+    cloud = jax.device_put(cloud)
+    camera = jax.device_put(
+        cam.default_camera(width, height, eye=eye, center=center)
+    )
+
+    fwd = jax.jit(lambda c, k: render_impl(c, k, width, height, config)[0])
+    t = time_fn(fwd, cloud, camera, iters=10, warmup=2)
+    mpixps = width * height / t / 1e6
+    _log(f"forward: {t*1e3:.2f} ms → {mpixps:.1f} Mpix/s "
+         f"({n} gaussians @{width}x{height})")
+
+    result = {
+        "metric": f"forward_render_{height}p",
+        "value": round(mpixps, 2),
+        "unit": "Mpix/s",
+        "vs_baseline": round(mpixps / BASELINE_MPIXPS, 3),
+    }
+
+    def loss(c, k):
+        return jnp.sum(render_impl(c, k, width, height, config)[0])
+
+    fwdbwd = jax.jit(jax.grad(loss))
+    try:
+        tb = time_fn(fwdbwd, cloud, camera, iters=5, warmup=2)
+        _log(f"forward+backward: {tb*1e3:.2f} ms → "
+             f"{width*height/tb/1e6:.1f} Mpix/s")
+        result["fwd_bwd_mpixps"] = round(width * height / tb / 1e6, 2)
+    except Exception as e:  # pragma: no cover
+        _log(f"backward bench failed: {e}")
+
+    splats = jax.jit(
+        lambda c, k: project_gaussians(c, k, width, height, config)
+    )(cloud, camera)
+    sortfn = jax.jit(lambda s: bin_splats(s, width, height, config).sorted_gidx)
+    ts = time_fn(sortfn, splats, iters=10, warmup=2)
+    _log(f"bin+sort: {ts*1e3:.2f} ms → {n/ts/1e6:.1f} M splats/s")
+    result["sort_msplats_per_s"] = round(n / ts / 1e6, 2)
+
+    if emit_json:
+        print(json.dumps({k: result[k] for k in
+                          ("metric", "value", "unit", "vs_baseline")}))
+    return result

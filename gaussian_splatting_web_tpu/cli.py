@@ -1,0 +1,162 @@
+"""Command-line interface.
+
+Covers the reference's app-shell surface (src/index.ts: load PLY by URL
+param, load cameras.json, render loop, fps readout) as batch commands:
+
+  python -m gaussian_splatting_web_tpu.cli render  --ply scene.ply [--cameras cam.json] --out out/
+  python -m gaussian_splatting_web_tpu.cli bench   --ply scene.ply --width 1920 --height 1080
+  python -m gaussian_splatting_web_tpu.cli info    --ply scene.ply
+  python -m gaussian_splatting_web_tpu.cli serve   --ply scene.ply --port 8090
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _load(args):
+    import jax
+
+    from .io.ply import read_ply
+
+    t0 = time.time()
+    last = [0.0]
+
+    def progress(got, total):
+        if time.time() - last[0] > 0.5:
+            last[0] = time.time()
+            print(f"\rloading {got/1e6:.0f}/{total/1e6:.0f} MB", end="", file=sys.stderr)
+
+    cloud = read_ply(args.ply, progress=progress)
+    print(f"\rloaded {cloud.num_gaussians} gaussians "
+          f"(SH degree {cloud.sh_degree}) in {time.time()-t0:.2f}s",
+          file=sys.stderr)
+    return jax.device_put(cloud)
+
+
+def _config(args):
+    from .config import RenderConfig
+
+    kw = {}
+    for f in ("tile_size", "max_dup", "max_per_tile", "tile_chunk"):
+        v = getattr(args, f, None)
+        if v is not None:
+            kw[f] = v
+    return RenderConfig(**kw)
+
+
+def cmd_info(args):
+    from .io.ply import read_ply
+
+    cloud = read_ply(args.ply)
+    lo, hi = cloud.bbox()
+    print(json.dumps({
+        "num_gaussians": cloud.num_gaussians,
+        "sh_degree": cloud.sh_degree,
+        "bbox_min": [float(x) for x in lo],
+        "bbox_max": [float(x) for x in hi],
+    }, indent=2))
+
+
+def cmd_render(args):
+    import numpy as np
+
+    from .core import camera as cam
+    from .io.cameras import load_cameras_json
+    from .ops.rasterize import render
+    from .utils.image import write_png
+
+    cloud = _load(args)
+    config = _config(args)
+    w, h = args.width, args.height
+
+    if args.cameras:
+        cams = load_cameras_json(args.cameras, target_size=(w, h))
+        if args.limit:
+            cams = cams[: args.limit]
+    else:
+        lo, hi = cloud.bbox()
+        center = (np.asarray(lo) + np.asarray(hi)) / 2
+        camera = cam.default_camera(w, h, eye=center + np.array([0, 0, -5.0]),
+                                    center=center)
+        cams = [(camera, (w, h), "default")]
+
+    os.makedirs(args.out, exist_ok=True)
+    total_t = 0.0
+    for i, (camera, _, name) in enumerate(cams):
+        t0 = time.time()
+        img, aux = render(cloud, camera, w, h, config)
+        img.block_until_ready()
+        dt = time.time() - t0
+        total_t += dt
+        out = os.path.join(args.out, f"{i:04d}_{os.path.basename(str(name))}.png")
+        write_png(np.asarray(img), out)
+        print(f"{out}  {dt*1e3:.1f} ms  "
+              f"({w*h/dt/1e6:.1f} Mpix/s, pairs={int(aux['num_pairs'])})",
+              file=sys.stderr)
+    print(f"rendered {len(cams)} views, avg "
+          f"{total_t/len(cams)*1e3:.1f} ms/view", file=sys.stderr)
+
+
+def cmd_bench(args):
+    os.environ.setdefault("GSWT_BENCH_PLY", args.ply or "")
+    from . import bench_lib
+
+    bench_lib.run(ply=args.ply, width=args.width, height=args.height)
+
+
+def cmd_serve(args):
+    from .viewer.server import serve
+
+    cloud = _load(args)
+    serve(cloud, host=args.host, port=args.port,
+          width=args.width, height=args.height, config=_config(args))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="gaussian_splatting_web_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, ply_required=True):
+        sp.add_argument("--ply", required=ply_required)
+        sp.add_argument("--width", type=int, default=1280)
+        sp.add_argument("--height", type=int, default=720)
+        sp.add_argument("--tile-size", dest="tile_size", type=int)
+        sp.add_argument("--max-dup", dest="max_dup", type=int)
+        sp.add_argument("--max-per-tile", dest="max_per_tile", type=int)
+        sp.add_argument("--tile-chunk", dest="tile_chunk", type=int)
+
+    sp = sub.add_parser("info", help="scene statistics")
+    sp.add_argument("--ply", required=True)
+    sp.set_defaults(fn=cmd_info)
+
+    sp = sub.add_parser("render", help="offline render to PNGs")
+    common(sp)
+    sp.add_argument("--cameras", help="INRIA cameras.json")
+    sp.add_argument("--out", default="renders")
+    sp.add_argument("--limit", type=int, default=0)
+    sp.set_defaults(fn=cmd_render)
+
+    sp = sub.add_parser("bench", help="throughput benchmark")
+    common(sp, ply_required=False)
+    sp.set_defaults(fn=cmd_bench)
+
+    sp = sub.add_parser("serve", help="interactive web viewer")
+    common(sp)
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=8090)
+    sp.set_defaults(fn=cmd_serve)
+
+    args = p.parse_args(argv)
+    from .utils.metrics import enable_compile_cache
+
+    enable_compile_cache()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

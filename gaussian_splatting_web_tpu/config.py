@@ -1,0 +1,70 @@
+"""Render configuration.
+
+The reference bakes all of its knobs into WGSL template strings at shader-build
+time (SURVEY.md §5 "Config"; e.g. low-pass 0.3 at simple_render.ts:295-296,
+alpha cutoff 1/255 at simple_render.ts:191, max splat 4096 px at
+simple_render.ts:312-314, znear/zfar 0.2/100 at camera.ts:484). Here the same
+constants live in one frozen dataclass that specializes jitted functions and
+Pallas kernels through closure — the TPU analogue of shader-string
+interpolation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static (compile-time) configuration for the renderer.
+
+    All fields are hashable Python values so a RenderConfig can be passed as a
+    `static_argnums` argument to jit.
+    """
+
+    # --- tiling -----------------------------------------------------------
+    tile_size: int = 16          # pixels per tile side (16x16 = 256 px, 2x128 lanes)
+    max_dup: int = 32            # max tiles a single gaussian may be binned into
+    tile_chunk: int = 32         # tiles rasterized per lax.map step
+    max_per_tile: int = 1024     # per-tile splat list capacity (static shape cap)
+
+    # --- EWA / splat constants (parity with the reference shader) --------
+    lowpass: float = 0.3         # cov2d diagonal dilation  (simple_render.ts:295-296)
+    fov_clamp: float = 1.3       # frustum clamp factor      (simple_render.ts:265-271)
+    max_radius_px: float = 4096.0  # max splat extent        (simple_render.ts:312-314)
+    alpha_cutoff: float = 1.0 / 255.0  # discard threshold   (simple_render.ts:191-193)
+    alpha_max: float = 0.99      # INRIA alpha clamp
+    transmittance_eps: float = 1e-4  # early-termination threshold (INRIA)
+    radius_sigma: float = 3.0    # binning radius in standard deviations (INRIA)
+
+    # --- camera defaults --------------------------------------------------
+    znear: float = 0.2           # camera.ts:484
+    zfar: float = 100.0          # camera.ts:484
+
+    # --- compositing / post ----------------------------------------------
+    background: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # post-process pass (post_process_render.ts:63-76)
+    post_alpha_boost: float = 1.5
+    post_alpha_pow: float = 4.0
+    post_alpha_knee: float = 0.99
+
+    # --- precision --------------------------------------------------------
+    # 'float32' everywhere for parity with the reference; 'bfloat16' enables
+    # bf16 storage with f32 accumulation in the compositor.
+    dtype: str = "float32"
+
+    def grid_size(self, width: int, height: int) -> Tuple[int, int]:
+        """Number of tiles in (x, y)."""
+        ts = self.tile_size
+        return (-(-width // ts), -(-height // ts))
+
+    def num_tiles(self, width: int, height: int) -> int:
+        gx, gy = self.grid_size(width, height)
+        return gx * gy
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = RenderConfig()

@@ -1,0 +1,137 @@
+"""Core pytree types.
+
+The reference packs gaussians into an interleaved WGSL-struct byte buffer
+(src/packing.ts, src/ply.ts:249-263: {position vec3, logScale vec3, rotQuat
+vec4, opacityLogit f32, shCoeffs vec3[K]}). On TPU the idiomatic layout is
+structure-of-arrays: each field is a dense [N, ...] array so every per-gaussian
+op is a vectorized map that XLA tiles onto the VPU, and fields shard/replicate
+independently under pjit.
+
+Parameters are stored in their *raw* (pre-activation) form — log-scale and
+opacity logit — and decoded in-kernel (exp/sigmoid), making them directly
+differentiable training parameters. The reference instead applies exp on the
+CPU at load time (src/ply.ts:333-335) and sigmoid in-shader
+(src/simple_render.ts:328); we move both into the kernel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _register(cls, data_fields, meta_fields=()):
+    jax.tree_util.register_dataclass(
+        cls, data_fields=list(data_fields), meta_fields=list(meta_fields)
+    )
+    return cls
+
+
+@dataclasses.dataclass
+class GaussianCloud:
+    """A structure-of-arrays 3D Gaussian point cloud.
+
+    Attributes:
+      xyz:           [N, 3] float — world-space means.
+      log_scale:     [N, 3] float — log of per-axis scales (exp in-kernel).
+      quat:          [N, 4] float — rotation quaternion (x, y, z, w), need not
+                     be normalized (normalized in-kernel). Standard convention;
+                     see io.ply for the mapping from the reference's
+                     swizzle+sign-flip storage (src/ply.ts:170-213).
+      opacity_logit: [N] float — opacity logit (sigmoid in-kernel).
+      sh:            [N, K, 3] float — spherical-harmonics color coefficients,
+                     K in {1, 4, 9, 16} for degrees 0-3 (src/ply.ts:130-143).
+    """
+
+    xyz: jax.Array
+    log_scale: jax.Array
+    quat: jax.Array
+    opacity_logit: jax.Array
+    sh: jax.Array
+
+    @property
+    def num_gaussians(self) -> int:
+        return self.xyz.shape[0]
+
+    @property
+    def sh_degree(self) -> int:
+        k = self.sh.shape[1]
+        return {1: 0, 4: 1, 9: 2, 16: 3}[k]
+
+    def astype(self, dtype) -> "GaussianCloud":
+        return GaussianCloud(
+            xyz=self.xyz.astype(dtype),
+            log_scale=self.log_scale.astype(dtype),
+            quat=self.quat.astype(dtype),
+            opacity_logit=self.opacity_logit.astype(dtype),
+            sh=self.sh.astype(dtype),
+        )
+
+    def bbox(self):
+        """(min, max) scene bounding box (ref: src/ply.ts:276-285)."""
+        return jnp.min(self.xyz, axis=0), jnp.max(self.xyz, axis=0)
+
+
+_register(
+    GaussianCloud, ["xyz", "log_scale", "quat", "opacity_logit", "sh"]
+)
+
+
+@dataclasses.dataclass
+class CameraParams:
+    """Dynamic (traced) camera state.
+
+    Static shape info (image width/height) is deliberately *not* part of this
+    pytree: it is passed separately as static arguments so jit sees fixed
+    shapes.
+
+    The uniform struct of the reference carries {viewMatrix, projMatrix,
+    cameraPosition, tanHalfFovX/Y, focalX/Y, scaleModifier}
+    (src/renderer.ts:24-33); this is the same surface as arrays.
+
+    Attributes:
+      view:      [4, 4] world→camera matrix.
+      proj:      [4, 4] camera→clip matrix (INRIA convention, see core.camera).
+      cam_pos:   [3] camera center in world space (for SH view direction,
+                 ref src/camera.ts:135-138).
+      focal:     [2] (focal_x, focal_y) in pixels.
+      tan_half_fov: [2] (tan(fovx/2), tan(fovy/2)).
+      scale_modifier: [] global scale multiplier (ref simple_render.ts:98).
+    """
+
+    view: jax.Array
+    proj: jax.Array
+    cam_pos: jax.Array
+    focal: jax.Array
+    tan_half_fov: jax.Array
+    scale_modifier: jax.Array
+
+    @property
+    def view_proj(self) -> jax.Array:
+        return self.proj @ self.view
+
+
+_register(
+    CameraParams,
+    ["view", "proj", "cam_pos", "focal", "tan_half_fov", "scale_modifier"],
+)
+
+
+def stack_cameras(cams) -> CameraParams:
+    """Stack a list of CameraParams into a batched CameraParams (leading axis)."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cams)
+
+
+def numpy_cloud(cloud: GaussianCloud) -> GaussianCloud:
+    """Device→host copy of every field (for the CPU reference renderer)."""
+    return GaussianCloud(
+        xyz=np.asarray(cloud.xyz),
+        log_scale=np.asarray(cloud.log_scale),
+        quat=np.asarray(cloud.quat),
+        opacity_logit=np.asarray(cloud.opacity_logit),
+        sh=np.asarray(cloud.sh),
+    )

@@ -1,0 +1,146 @@
+"""Depth ordering + tile binning.
+
+The reference's sorting subsystem is a per-frame global GPU radix argsort of
+(depth-key, index) pairs (renderer.ts:160-183 + webgpu-radix-sort; key init in
+shaders.ts:44-73; legacy bitonic path in bitonic.ts/depth_sorter.ts). Every
+pixel then iterates splats in that single global order.
+
+On TPU the idiomatic design is the INRIA tile-binned one: expand each splat
+into the 16x16-pixel tiles its extent covers, sort the (tile, depth, id)
+triples once with XLA's variadic sort (`lax.sort`, num_keys=2 —
+lexicographic (tile, depth)), and read per-tile contiguous, depth-ordered
+segments via searchsorted offsets. This turns "sort + full-screen quads" into
+"one sort + dense per-tile gathers", which is what the rasterizer kernel
+needs for sequential front-to-back compositing over VMEM-resident slabs.
+
+Static-shape strategy (XLA requires fixed shapes): each gaussian owns
+`config.max_dup` candidate (tile, depth) slots; slots beyond its actual tile
+footprint get tile_id = num_tiles and sort to the end. Footprints larger than
+max_dup tiles are truncated (counted in `overflow` for observability). The
+per-tile segment length is later capped at `config.max_per_tile` by the
+rasterizer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from .projection import ProjectedSplats
+
+
+@dataclasses.dataclass
+class TileBins:
+    """Sorted splat→tile assignment.
+
+    sorted_gidx:  [M] gaussian index per (tile, depth)-sorted pair.
+    tile_start:   [T] offset of each tile's segment in sorted_gidx.
+    tile_count:   [T] segment length per tile.
+    num_pairs:    [] total live pairs (observability).
+    overflow:     [] gaussians whose tile footprint was truncated at max_dup.
+    """
+
+    sorted_gidx: jax.Array
+    tile_start: jax.Array
+    tile_count: jax.Array
+    num_pairs: jax.Array
+    overflow: jax.Array
+
+
+jax.tree_util.register_dataclass(
+    TileBins,
+    data_fields=["sorted_gidx", "tile_start", "tile_count", "num_pairs", "overflow"],
+    meta_fields=[],
+)
+
+
+def float_to_sortable_uint(f: jnp.ndarray) -> jnp.ndarray:
+    """Monotonic float32 → uint32 key transform: flip the sign bit for
+    positives, complement all bits for negatives.
+
+    The reference's version (shaders.ts:36-40) negates the arithmetic-shift
+    mask, producing 0x80000001 instead of 0xFFFFFFFF for negatives — keys for
+    negative depths (its orbit camera's entire view volume) are not order-
+    preserving among themselves. We implement the correct transform; for the
+    positive depths of INRIA cameras the two agree bit-exactly.
+    """
+    fu = jax.lax.bitcast_convert_type(f.astype(jnp.float32), jnp.uint32)
+    neg = jax.lax.bitcast_convert_type(fu, jnp.int32) < 0
+    mask = jnp.where(neg, jnp.uint32(0xFFFFFFFF), jnp.uint32(0x80000000))
+    return fu ^ mask
+
+
+def depth_sort_indices(depth: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Global front-to-back argsort by view depth — the reference's whole
+    per-frame sort (renderer.ts:301-315) as one XLA op. Invalid splats sort
+    to the end."""
+    key = jnp.where(valid, depth, jnp.float32(jnp.inf))
+    return jnp.argsort(key)
+
+
+def bin_splats(
+    splats: ProjectedSplats,
+    width: int,
+    height: int,
+    config: RenderConfig,
+) -> TileBins:
+    """Bin projected splats into depth-sorted per-tile segments."""
+    ts = config.tile_size
+    gx, gy = config.grid_size(width, height)
+    num_tiles = gx * gy
+    n = splats.depth.shape[0]
+    d = config.max_dup
+
+    # --- tile footprint (INRIA getRect semantics) ------------------------
+    mean = jnp.where(splats.valid[:, None], splats.mean2d, -1e6)
+    r = splats.radius
+    x0 = jnp.clip(jnp.floor((mean[:, 0] - r) / ts), 0, gx).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((mean[:, 1] - r) / ts), 0, gy).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((mean[:, 0] + r) / ts) + 1, 0, gx).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((mean[:, 1] + r) / ts) + 1, 0, gy).astype(jnp.int32)
+    rw = jnp.where(splats.valid, x1 - x0, 0)
+    rh = jnp.where(splats.valid, y1 - y0, 0)
+    n_tiles_per_gauss = rw * rh
+
+    overflow = jnp.sum((n_tiles_per_gauss > d).astype(jnp.int32))
+    num_pairs = jnp.sum(jnp.minimum(n_tiles_per_gauss, d))
+
+    # --- static-shape duplication: slot k → k-th tile of the footprint ---
+    slot = jnp.arange(d, dtype=jnp.int32)[None, :]          # [1, D]
+    live = slot < n_tiles_per_gauss[:, None]                 # [N, D]
+    safe_rw = jnp.maximum(rw, 1)[:, None]
+    ty = y0[:, None] + slot // safe_rw
+    tx = x0[:, None] + slot % safe_rw
+    tile_id = jnp.where(live, ty * gx + tx, num_tiles).astype(jnp.int32)
+
+    depth_k = jnp.broadcast_to(splats.depth[:, None], (n, d)).astype(jnp.float32)
+    gidx = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, d)
+    )
+
+    # --- one lexicographic sort by (tile, depth) -------------------------
+    sorted_tile, _, sorted_gidx = jax.lax.sort(
+        (tile_id.reshape(-1), depth_k.reshape(-1), gidx.reshape(-1)),
+        num_keys=2,
+    )
+
+    # --- per-tile segment offsets ----------------------------------------
+    tile_range = jnp.arange(num_tiles, dtype=jnp.int32)
+    tile_start = jnp.searchsorted(sorted_tile, tile_range, side="left").astype(
+        jnp.int32
+    )
+    tile_end = jnp.searchsorted(sorted_tile, tile_range, side="right").astype(
+        jnp.int32
+    )
+    tile_count = tile_end - tile_start
+
+    return TileBins(
+        sorted_gidx=sorted_gidx,
+        tile_start=tile_start,
+        tile_count=tile_count,
+        num_pairs=num_pairs,
+        overflow=overflow,
+    )

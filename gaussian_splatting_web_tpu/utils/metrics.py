@@ -1,0 +1,96 @@
+"""Timing + throughput metrics.
+
+The reference's only instrumentation is a DOM FPS label updated per frame
+(renderer.ts:70-72, 332-338). Here: a block_until_ready timing harness and
+structured per-frame stats (Mpix/s, splats sorted/s, tiles touched), per
+SURVEY.md §5 observability plan.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class FrameStats:
+    frame_ms: float
+    mpix_per_s: float
+    num_gaussians: int
+    num_pairs: int = 0
+    overflow: int = 0
+
+    def as_dict(self) -> Dict:
+        return dataclasses.asdict(self)
+
+
+class Timer:
+    """Wall-clock timer that blocks on JAX async dispatch."""
+
+    def __init__(self):
+        self.t0 = None
+        self.elapsed = 0.0
+
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.elapsed = time.perf_counter() - self.t0
+        return False
+
+
+def enable_compile_cache(path: str = "/tmp/gswt_jax_cache") -> None:
+    """Enable the persistent XLA compilation cache (first axon-TPU compiles
+    route through a remote-compile tunnel and take minutes; the cache makes
+    every later CLI/bench invocation start hot)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
+_scalarize = None
+
+
+def _force(out) -> float:
+    """Force completion of a computation with a 4-byte device→host fetch.
+
+    On tunneled/remote PJRT platforms (the axon TPU relay here),
+    `block_until_ready` can return before execution finishes and full-array
+    fetches pay seconds of relay bandwidth; reducing on-device and pulling
+    one scalar is the only reliable, cheap completion barrier.
+    """
+    global _scalarize
+    if _scalarize is None:
+        _scalarize = jax.jit(
+            lambda leaves: sum(
+                jnp.sum(x.astype(jnp.float32)) for x in leaves
+            )
+        )
+    leaves = [x for x in jax.tree_util.tree_leaves(out)
+              if hasattr(x, "dtype")]
+    return float(_scalarize(leaves))
+
+
+def time_fn(fn: Callable, *args, iters: int = 10, warmup: int = 2) -> float:
+    """Median seconds per call of `fn(*args)`, forcing completion via an
+    on-device reduction + scalar fetch (see _force)."""
+    for _ in range(warmup):
+        _force(fn(*args))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _force(fn(*args))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
+def throughput_mpixps(width: int, height: int, seconds: float) -> float:
+    return width * height / seconds / 1e6

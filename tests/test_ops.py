@@ -1,0 +1,170 @@
+"""Unit tests for ops: SH, projection, sort keys, binning."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gaussian_splatting_web_tpu.config import RenderConfig
+from gaussian_splatting_web_tpu.core import camera as cam
+from gaussian_splatting_web_tpu.ops.projection import (
+    compute_cov3d, project_gaussians, quat_to_rotmat,
+)
+from gaussian_splatting_web_tpu.ops.sh import eval_sh
+from gaussian_splatting_web_tpu.ops.sort import (
+    bin_splats, depth_sort_indices, float_to_sortable_uint,
+)
+from tests.conftest import make_random_cloud
+
+
+def test_sh_degree0_constant():
+    sh = np.zeros((4, 1, 3), dtype=np.float32)
+    sh[:, 0] = 1.0
+    rgb = eval_sh(jnp.asarray(sh), jnp.zeros((4, 3)) + 5.0, jnp.zeros(3))
+    np.testing.assert_allclose(rgb, 0.28209479 + 0.5, atol=1e-6)
+
+
+def test_sh_higher_degrees_direction_dependent():
+    rng = np.random.default_rng(0)
+    sh = jnp.asarray(rng.normal(size=(1, 16, 3)).astype(np.float32))
+    p1 = eval_sh(sh, jnp.asarray([[0.0, 0.0, 5.0]]), jnp.zeros(3))
+    p2 = eval_sh(sh, jnp.asarray([[5.0, 0.0, 0.0]]), jnp.zeros(3))
+    assert not np.allclose(p1, p2)
+
+
+def test_sh_nonnegative_and_offset():
+    """simple_render.ts:62-65: +0.5 then clamp at 0."""
+    sh = -10.0 * np.ones((2, 1, 3), dtype=np.float32)
+    rgb = eval_sh(jnp.asarray(sh), jnp.ones((2, 3)), jnp.zeros(3))
+    assert np.all(np.asarray(rgb) == 0.0)
+
+
+def test_quat_to_rotmat_identity_and_orthonormal():
+    np.testing.assert_allclose(
+        quat_to_rotmat(jnp.asarray([0.0, 0, 0, 1])), np.eye(3), atol=1e-6
+    )
+    rng = np.random.default_rng(1)
+    q = rng.normal(size=(10, 4)).astype(np.float32)
+    R = np.asarray(quat_to_rotmat(jnp.asarray(q)))
+    eye = np.einsum("nij,nkj->nik", R, R)
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), (10, 3, 3)), atol=1e-5)
+    np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-5)
+
+
+def test_cov3d_isotropic():
+    """exp(log s) = s on each axis → Σ = s² I for identity rotation."""
+    cov = compute_cov3d(
+        jnp.log(jnp.asarray([[0.5, 0.5, 0.5]])),
+        jnp.asarray([[0.0, 0, 0, 1]]),
+        jnp.float32(1.0),
+    )
+    np.testing.assert_allclose(cov[0], [0.25, 0, 0, 0.25, 0, 0.25], atol=1e-6)
+
+
+def test_cov3d_rotation_invariant_trace():
+    rng = np.random.default_rng(2)
+    ls = jnp.asarray(rng.uniform(-2, 0, size=(5, 3)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(5, 4)).astype(np.float32))
+    cov = np.asarray(compute_cov3d(ls, q, jnp.float32(1.0)))
+    trace = cov[:, 0] + cov[:, 3] + cov[:, 5]
+    expect = np.sum(np.exp(2 * np.asarray(ls)), axis=1)
+    np.testing.assert_allclose(trace, expect, rtol=1e-5)
+
+
+def _setup(n=50, seed=0, w=128, h=96):
+    cloud = make_random_cloud(n, seed=seed)
+    camera = cam.default_camera(w, h, eye=(0, 0, -6), center=(0, 0, 0))
+    return cloud, camera, w, h
+
+
+def test_project_center_gaussian():
+    """A gaussian at the look-at center must land at the image center."""
+    cloud = make_random_cloud(1, seed=0)
+    cloud.xyz = np.zeros((1, 3), dtype=np.float32)
+    w, h = 128, 96
+    camera = cam.default_camera(w, h, eye=(0, 0, -6), center=(0, 0, 0))
+    cfg = RenderConfig()
+    s = project_gaussians(cloud, camera, w, h, cfg)
+    assert bool(s.valid[0])
+    np.testing.assert_allclose(s.mean2d[0], [(w - 1) / 2, (h - 1) / 2], atol=1e-3)
+    np.testing.assert_allclose(s.depth[0], 6.0, atol=1e-5)
+
+
+def test_project_behind_camera_culled():
+    cloud = make_random_cloud(1, seed=0)
+    cloud.xyz = np.array([[0, 0, -20.0]], dtype=np.float32)  # behind the eye
+    camera = cam.default_camera(64, 64, eye=(0, 0, -6))
+    s = project_gaussians(cloud, camera, 64, 64, RenderConfig())
+    assert not bool(s.valid[0])
+    assert float(s.radius[0]) == 0.0
+
+
+def test_conic_is_inverse_cov2d():
+    cloud, camera, w, h = _setup()
+    s = project_gaussians(cloud, camera, w, h, RenderConfig())
+    conic = np.asarray(s.conic)[np.asarray(s.valid)]
+    # conic = [c, -b, a]/det of cov2d [a b; b c] → det(conic) = 1/det(cov2d) > 0
+    det_conic = conic[:, 0] * conic[:, 2] - conic[:, 1] ** 2
+    assert np.all(det_conic > 0)
+
+
+def test_float_to_sortable_uint_monotonic():
+    """shaders.ts:36-40 — order-preserving across sign boundary."""
+    vals = jnp.asarray(
+        [-1e30, -5.0, -1e-9, -0.0, 0.0, 1e-9, 2.5, 1e30], dtype=jnp.float32
+    )
+    keys = np.asarray(float_to_sortable_uint(vals), dtype=np.uint64)
+    assert np.all(np.diff(keys.astype(np.int64)) >= 0)
+
+
+def test_depth_sort_indices():
+    depth = jnp.asarray([3.0, 1.0, 2.0, 5.0])
+    valid = jnp.asarray([True, True, True, False])
+    order = np.asarray(depth_sort_indices(depth, valid))
+    assert list(order[:3]) == [1, 2, 0]
+    assert order[3] == 3
+
+
+def test_bin_splats_segments_sorted_by_depth():
+    cloud, camera, w, h = _setup(n=80)
+    cfg = RenderConfig(max_dup=64)
+    s = project_gaussians(cloud, camera, w, h, cfg)
+    bins = bin_splats(s, w, h, cfg)
+    start = np.asarray(bins.tile_start)
+    count = np.asarray(bins.tile_count)
+    gidx = np.asarray(bins.sorted_gidx)
+    depth = np.asarray(s.depth)
+    gx, gy = cfg.grid_size(w, h)
+    assert start.shape == (gx * gy,)
+    total = int(np.asarray(bins.num_pairs))
+    assert total == int(count.sum())
+    for t in range(gx * gy):
+        seg = gidx[start[t] : start[t] + count[t]]
+        d = depth[seg]
+        assert np.all(np.diff(d) >= 0), f"tile {t} not depth sorted"
+
+
+def test_bin_splats_covers_projected_center_tile():
+    cloud = make_random_cloud(1, seed=0)
+    cloud.xyz = np.zeros((1, 3), dtype=np.float32)
+    w = h = 64
+    camera = cam.default_camera(w, h, eye=(0, 0, -6))
+    cfg = RenderConfig()
+    s = project_gaussians(cloud, camera, w, h, cfg)
+    bins = bin_splats(s, w, h, cfg)
+    gx, _ = cfg.grid_size(w, h)
+    cx, cy = int(s.mean2d[0, 0]) // cfg.tile_size, int(s.mean2d[0, 1]) // cfg.tile_size
+    t = cy * gx + cx
+    assert int(bins.tile_count[t]) >= 1
+
+
+def test_bin_splats_overflow_counted():
+    cloud = make_random_cloud(1, seed=0)
+    cloud.xyz = np.zeros((1, 3), dtype=np.float32)
+    cloud.log_scale = np.full((1, 3), 1.5, dtype=np.float32)  # huge splat
+    cloud.opacity_logit = np.full((1,), 5.0, dtype=np.float32)
+    w = h = 256
+    camera = cam.default_camera(w, h, eye=(0, 0, -4))
+    cfg = RenderConfig(max_dup=4)
+    s = project_gaussians(cloud, camera, w, h, cfg)
+    bins = bin_splats(s, w, h, cfg)
+    assert int(bins.overflow) == 1
