@@ -55,15 +55,19 @@ def run(
 
     enable_compile_cache()
 
+    import dataclasses
+
     from .config import RenderConfig
     from .core import camera as cam
     from .io.ply import read_ply
     from .ops.projection import project_gaussians
     from .ops.rasterize import render_impl
     from .ops.sort import bin_splats
-    from .utils.metrics import time_fn
+    from .utils.metrics import time_fn_device
 
-    config = RenderConfig(max_dup=32, max_per_tile=512, tile_chunk=32)
+    config = RenderConfig(
+        max_dup=32, max_per_tile=512, tile_chunk=32, depth_bits=19
+    )
 
     _log(f"platform={jax.default_backend()} devices={jax.devices()}")
     if ply:
@@ -81,8 +85,16 @@ def run(
         cam.default_camera(width, height, eye=eye, center=center)
     )
 
-    fwd = jax.jit(lambda c, k: render_impl(c, k, width, height, config)[0])
-    t = time_fn(fwd, cloud, camera, iters=10, warmup=2)
+    def perturbed(c):
+        return dataclasses.replace(
+            cloud, opacity_logit=cloud.opacity_logit + c * 1e-30
+        )
+
+    def fwd_body(c):
+        img, _ = render_impl(perturbed(c), camera, width, height, config)
+        return jnp.sum(img) * 1e-30
+
+    t = time_fn_device(fwd_body)
     mpixps = width * height / t / 1e6
     _log(f"forward: {t*1e3:.2f} ms → {mpixps:.1f} Mpix/s "
          f"({n} gaussians @{width}x{height})")
@@ -94,12 +106,16 @@ def run(
         "vs_baseline": round(mpixps / BASELINE_MPIXPS, 3),
     }
 
-    def loss(c, k):
-        return jnp.sum(render_impl(c, k, width, height, config)[0])
+    def loss(c):
+        img, _ = render_impl(perturbed(c), camera, width, height, config)
+        return jnp.sum(img)
 
-    fwdbwd = jax.jit(jax.grad(loss))
+    def bwd_body(c):
+        g = jax.grad(loss)(c * 1e-30)
+        return g * 1e-30
+
     try:
-        tb = time_fn(fwdbwd, cloud, camera, iters=5, warmup=2)
+        tb = time_fn_device(bwd_body, iters=4)
         _log(f"forward+backward: {tb*1e3:.2f} ms → "
              f"{width*height/tb/1e6:.1f} Mpix/s")
         result["fwd_bwd_mpixps"] = round(width * height / tb / 1e6, 2)
@@ -109,8 +125,13 @@ def run(
     splats = jax.jit(
         lambda c, k: project_gaussians(c, k, width, height, config)
     )(cloud, camera)
-    sortfn = jax.jit(lambda s: bin_splats(s, width, height, config).sorted_gidx)
-    ts = time_fn(sortfn, splats, iters=10, warmup=2)
+
+    def sort_body(c):
+        s2 = dataclasses.replace(splats, depth=splats.depth + c * 1e-30)
+        b = bin_splats(s2, width, height, config)
+        return jnp.sum(b.tile_count.astype(jnp.float32)) * 1e-30
+
+    ts = time_fn_device(sort_body)
     _log(f"bin+sort: {ts*1e3:.2f} ms → {n/ts/1e6:.1f} M splats/s")
     result["sort_msplats_per_s"] = round(n / ts / 1e6, 2)
 

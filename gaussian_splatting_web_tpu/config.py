@@ -28,6 +28,10 @@ class RenderConfig:
     max_dup: int = 32            # max tiles a single gaussian may be binned into
     tile_chunk: int = 32         # tiles rasterized per lax.map step
     max_per_tile: int = 1024     # per-tile splat list capacity (static shape cap)
+    depth_bits: int = 0          # >0: packed single-key sort keeping this
+                                 # many depth bits below the tile id (~1.5x
+                                 # faster binning; depth ties may reorder).
+                                 # 0 = exact (tile, f32 depth) two-key sort.
 
     # --- EWA / splat constants (parity with the reference shader) --------
     lowpass: float = 0.3         # cov2d diagonal dilation  (simple_render.ts:295-296)
@@ -53,6 +57,10 @@ class RenderConfig:
     # 'float32' everywhere for parity with the reference; 'bfloat16' enables
     # bf16 storage with f32 accumulation in the compositor.
     dtype: str = "float32"
+
+    # --- kernel selection -------------------------------------------------
+    # 'auto': fused Pallas compositor on TPU, portable XLA path elsewhere.
+    use_pallas: str = "auto"  # 'auto' | 'always' | 'never'
 
     def grid_size(self, width: int, height: int) -> Tuple[int, int]:
         """Number of tiles in (x, y)."""

@@ -1,34 +1,36 @@
-"""Fused Pallas tile-compositing kernel (forward).
+"""Fused Pallas tile-compositing kernel.
 
 Semantically identical to ops.rasterize._composite_chunk (same INRIA alpha
-math, cutoffs, and early-termination rule), but as one TPU kernel per pixel
-tile with wins XLA can't express:
+math, cutoffs, and early-termination rule), re-architected around what
+profiling showed actually dominates on TPU — the padded per-tile gather:
 
-  * dynamic per-tile work: the splat loop runs ceil(count/KC) chunks, not
-    the static max_per_tile cap;
-  * early exit: the chunk loop stops as soon as every pixel in the tile has
-    transmittance below the 1e-4 threshold — dense scenes touch a fraction
-    of their binned splats (the reference's blend unit can never stop early,
-    simple_render.ts:454-471);
-  * no [K, P] intermediates ever reach HBM.
+  * splat fields are packed once into a (tile, depth)-sorted field-major
+    array [16, M] (ops.rasterize.pack_sorted_fields + one transpose), so a
+    tile's splat list is a contiguous slab;
+  * each grid step (one 16×16 pixel tile) streams its slab through VMEM in
+    [16, KC=128] chunks with double-buffered async DMA at a *dynamic*
+    offset — no [tiles × max_per_tile] gather or padding anywhere;
+  * the chunk loop runs ceil(count/KC) iterations and stops early once every
+    pixel's transmittance is below the 1e-4 threshold (the reference's blend
+    unit can never stop early, simple_render.ts:454-471);
+  * the transmittance recurrence is a lane-axis cumsum realized as one
+    [P, KC] × [KC, KC] upper-triangular matmul on the MXU (Mosaic has no
+    native cumsum); because log(1-α) ≤ 0 the cumulative log-transmittance is
+    monotone, so early-termination masking is a plain comparison.
 
-Layout: pixels live in sublanes (P = tile_size² = 256 rows), splat chunks in
-lanes (KC = 128 columns), so per-splat scalars broadcast from [1, KC] rows
-and the transmittance recurrence is a lane-axis cumsum. Because log(1-α) ≤ 0
-the cumulative log-transmittance is monotone along the splat axis, so the
-early-termination mask is a plain comparison — no cummax.
+Layout: pixels in sublanes (P = 256 rows), splat chunk in lanes (KC = 128
+columns); per-splat scalars broadcast from [1, KC] slab rows.
 
 The public entry `rasterize_tiles_pallas` carries a custom VJP whose
-backward evaluates the XLA-path compositor's gradient (bitwise-identical
-semantics), so the fast kernel is usable inside jax.grad today; a handwritten
-back-to-front backward kernel is the planned replacement.
+backward evaluates the XLA-path compositor's gradient (identical math), so
+the fast kernel is usable inside jax.grad today; a handwritten back-to-front
+backward kernel is the planned replacement.
 """
 
 from __future__ import annotations
 
 import functools
 import math
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -39,15 +41,17 @@ from ...config import RenderConfig
 from ..projection import ProjectedSplats
 from ..sort import TileBins
 
-# splat-chunk width (lanes)
-KC = 128
-NUM_FIELDS = 8  # mean_x, mean_y, conic_a, conic_b, conic_c, r, g, b, (opacity separate)
+KC = 128          # splat-chunk width (lanes)
+F_PAD = 16        # field rows, padded to a full sublane tile
 
 
 def _kernel(
+    starts_ref,            # SMEM [T] int32 (scalar prefetch)
     counts_ref,            # SMEM [T] int32 (scalar prefetch)
-    fields_ref,            # VMEM [9, K] f32: mx, my, ca, cb, cc, r, g, b, opac
+    fields_hbm,            # ANY  [F_PAD, M_pad] f32 (field-major, sorted)
     out_ref,               # VMEM [P, 4] f32
+    slab_ref,              # VMEM scratch [2, F_PAD, KC]
+    sem_ref,               # DMA semaphores (2,)
     *,
     gx: int,
     tile_size: int,
@@ -59,8 +63,15 @@ def _kernel(
     t = pl.program_id(0)
     p = tile_size * tile_size
 
+    start = starts_ref[t]
     count = jnp.minimum(counts_ref[t], k_cap)
-    n_chunks = pl.cdiv(count, KC)
+    # DMA offsets must be 128-lane aligned for Mosaic: stream from the
+    # aligned base at or before `start` and mask the leading lanes that
+    # belong to the previous tile's segment.
+    base = (start // KC) * KC
+    lead = start - base
+    total = lead + count
+    n_chunks = pl.cdiv(total, KC)
 
     tx = (t % gx).astype(jnp.float32)
     ty = (t // gx).astype(jnp.float32)
@@ -68,26 +79,44 @@ def _kernel(
     px = tx * tile_size + (pix % tile_size).astype(jnp.float32)
     py = ty * tile_size + (pix // tile_size).astype(jnp.float32)
 
-    # Lane-axis inclusive cumsum as an MXU matmul with an upper-triangular
-    # ones matrix (Mosaic has no native cumsum; one [P,KC]x[KC,KC] f32
-    # matmul per chunk is effectively free on the MXU).
+    # lane-axis inclusive cumsum as an MXU matmul (no native cumsum)
     tri = (
         jax.lax.broadcasted_iota(jnp.int32, (KC, KC), 0)
         <= jax.lax.broadcasted_iota(jnp.int32, (KC, KC), 1)
     ).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, KC), 1)
+
+    def dma(slot, c):
+        off = pl.multiple_of(base + c * KC, KC)
+        return pltpu.make_async_copy(
+            fields_hbm.at[:, pl.ds(off, KC)],
+            slab_ref.at[slot],
+            sem_ref.at[slot],
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        dma(0, 0).start()
 
     def chunk_body(state):
         c, carry, r_acc, g_acc, b_acc, a_acc = state
-        off = c * KC
-        mx = fields_ref[0:1, pl.ds(off, KC)]
-        my = fields_ref[1:2, pl.ds(off, KC)]
-        ca = fields_ref[2:3, pl.ds(off, KC)]
-        cb = fields_ref[3:4, pl.ds(off, KC)]
-        cc = fields_ref[4:5, pl.ds(off, KC)]
-        fr = fields_ref[5:6, pl.ds(off, KC)]
-        fg = fields_ref[6:7, pl.ds(off, KC)]
-        fb = fields_ref[7:8, pl.ds(off, KC)]
-        op = fields_ref[8:9, pl.ds(off, KC)]
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            dma((c + 1) % 2, c + 1).start()
+
+        dma(c % 2, c).wait()
+        slab = slab_ref[c % 2]            # [F_PAD, KC]
+
+        mx = slab[0:1, :]
+        my = slab[1:2, :]
+        ca = slab[2:3, :]
+        cb = slab[3:4, :]
+        cc = slab[4:5, :]
+        fr = slab[5:6, :]
+        fg = slab[6:7, :]
+        fb = slab[7:8, :]
+        op = slab[8:9, :]
 
         dx = px - mx                      # [P, KC]
         dy = py - my
@@ -95,11 +124,14 @@ def _kernel(
         power = jnp.minimum(power, 0.0)
         alpha = jnp.minimum(op * jnp.exp(power), alpha_max)
         alpha = jnp.where(alpha < alpha_cutoff, 0.0, alpha)
+        # lanes outside this tile's [lead, lead+count) segment window
+        # contribute nothing
+        g = c * KC + lane
+        alpha = jnp.where(jnp.logical_and(g >= lead, g < total), alpha, 0.0)
 
         log1m = jnp.log1p(-alpha)
         cum = jnp.dot(log1m, tri, preferred_element_type=jnp.float32)
-        # inclusive cumsum along lanes, monotone ↓
-        log_t_incl = carry + cum
+        log_t_incl = carry + cum          # monotone ↓ along lanes
         t_excl = jnp.exp(log_t_incl - log1m)
         w = jnp.where(log_t_incl < log_eps, 0.0, alpha * t_excl)
 
@@ -116,40 +148,28 @@ def _kernel(
 
     zeros = jnp.zeros((p, 1), jnp.float32)
     init = (jnp.int32(0), zeros, zeros, zeros, zeros, zeros)
-    _, _, r_acc, g_acc, b_acc, a_acc = jax.lax.while_loop(
+    c_final, _, r_acc, g_acc, b_acc, a_acc = jax.lax.while_loop(
         chunk_cond, chunk_body, init
     )
+
+    # drain the in-flight prefetch if the loop exited early
+    @pl.when(c_final < n_chunks)
+    def _():
+        dma(c_final % 2, c_final).wait()
+
     out_ref[:, :] = jnp.concatenate([r_acc, g_acc, b_acc, a_acc], axis=1)
 
 
-def _gather_fields(
+def _sorted_fields_t(
     splats: ProjectedSplats, bins: TileBins, k_cap: int
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Pre-gather per-tile splat slabs → (fields [T, 9, K], counts [T])."""
-    m = bins.sorted_gidx.shape[0]
-    t_count = bins.tile_count.shape[0]
-    k = jnp.arange(k_cap, dtype=jnp.int32)
-    pair_idx = jnp.clip(bins.tile_start[:, None] + k[None, :], 0, m - 1)
-    gidx = bins.sorted_gidx[pair_idx]                       # [T, K]
-    live = k[None, :] < jnp.minimum(bins.tile_count, k_cap)[:, None]
+) -> jnp.ndarray:
+    """[F_PAD, M + pad] field-major sorted splat array for slab DMA."""
+    from ..rasterize import pack_sorted_fields
 
-    opac = jnp.where(live, splats.opacity[gidx], 0.0)
-    fields = jnp.stack(
-        [
-            splats.mean2d[gidx, 0],
-            splats.mean2d[gidx, 1],
-            splats.conic[gidx, 0],
-            splats.conic[gidx, 1],
-            splats.conic[gidx, 2],
-            splats.rgb[gidx, 0],
-            splats.rgb[gidx, 1],
-            splats.rgb[gidx, 2],
-            opac,
-        ],
-        axis=1,
-    )  # [T, 9, K]
-    counts = jnp.minimum(bins.tile_count, k_cap).astype(jnp.int32)
-    return fields, counts
+    fields = pack_sorted_fields(splats, bins, pad=k_cap + KC)  # [M+pad, 9]
+    m_pad = fields.shape[0]
+    out = jnp.zeros((F_PAD, m_pad), jnp.float32)
+    return jax.lax.dynamic_update_slice(out, fields.T, (0, 0))
 
 
 def composite_tiles_pallas(
@@ -167,7 +187,7 @@ def composite_tiles_pallas(
     p = ts * ts
     k_cap = max(KC, ((config.max_per_tile + KC - 1) // KC) * KC)
 
-    fields, counts = _gather_fields(splats, bins, k_cap)
+    fields_t = _sorted_fields_t(splats, bins, k_cap)
 
     kernel = functools.partial(
         _kernel,
@@ -179,19 +199,24 @@ def composite_tiles_pallas(
         log_eps=float(math.log(config.transmittance_eps)),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec((None, 9, k_cap), lambda t, counts: (t, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((None, p, 4), lambda t, counts: (t, 0, 0)),
+        out_specs=pl.BlockSpec((None, p, 4), lambda t, starts, counts: (t, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, F_PAD, KC), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles, p, 4), jnp.float32),
         interpret=interpret,
-    )(counts, fields)
+    )(bins.tile_start, jnp.minimum(bins.tile_count, k_cap).astype(jnp.int32),
+      fields_t)
     return out
 
 

@@ -39,9 +39,44 @@ from .projection import ProjectedSplats, project_gaussians
 from .sort import TileBins, bin_splats
 
 
+NUM_FIELDS = 9  # mx, my, conic_a, conic_b, conic_c, r, g, b, opacity
+
+
+def pack_sorted_fields(
+    splats: ProjectedSplats, bins: TileBins, pad: int
+) -> jnp.ndarray:
+    """Gather splat appearance fields into (tile, depth)-sorted pair order.
+
+    One contiguous [M + pad, 9] row gather replaces the per-tile
+    [tiles × max_per_tile] element gathers that dominated raster time
+    (padding-heavy gathers are the TPU's weakest access pattern; after this,
+    every tile's splat list is a *contiguous slab* readable with a dynamic
+    slice or a straight DMA). `pad` rows of zeros keep end-of-array slices
+    in bounds.
+    """
+    packed = jnp.stack(
+        [
+            splats.mean2d[:, 0],
+            splats.mean2d[:, 1],
+            splats.conic[:, 0],
+            splats.conic[:, 1],
+            splats.conic[:, 2],
+            splats.rgb[:, 0],
+            splats.rgb[:, 1],
+            splats.rgb[:, 2],
+            splats.opacity,
+        ],
+        axis=-1,
+    )                                                        # [N, 9]
+    sorted_fields = packed[bins.sorted_gidx]                 # [M, 9]
+    return jnp.concatenate(
+        [sorted_fields, jnp.zeros((pad, NUM_FIELDS), sorted_fields.dtype)]
+    )
+
+
 def _composite_chunk(
     tile_ids: jnp.ndarray,          # [C] int32
-    splats: ProjectedSplats,
+    sorted_fields: jnp.ndarray,     # [M + K, 9] (pack_sorted_fields)
     bins: TileBins,
     gx: int,
     config: RenderConfig,
@@ -51,20 +86,22 @@ def _composite_chunk(
     k_cap = config.max_per_tile
     c = tile_ids.shape[0]
     p = ts * ts
-    m = bins.sorted_gidx.shape[0]
 
     start = bins.tile_start[tile_ids]                       # [C]
     count = jnp.minimum(bins.tile_count[tile_ids], k_cap)   # [C]
 
     k = jnp.arange(k_cap, dtype=jnp.int32)                  # [K]
-    pair_idx = jnp.clip(start[:, None] + k[None, :], 0, m - 1)
-    gidx = bins.sorted_gidx[pair_idx]                       # [C, K]
     live = k[None, :] < count[:, None]                      # [C, K]
 
-    mean = splats.mean2d[gidx]                              # [C, K, 2]
-    conic = splats.conic[gidx]                              # [C, K, 3]
-    rgb = splats.rgb[gidx]                                  # [C, K, 3]
-    opac = splats.opacity[gidx]                             # [C, K]
+    slab = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(
+            sorted_fields, (s, 0), (k_cap, NUM_FIELDS)
+        )
+    )(start)                                                 # [C, K, 9]
+    mean = slab[..., 0:2]
+    conic = slab[..., 2:5]
+    rgb = slab[..., 5:8]
+    opac = slab[..., 8]
 
     # pixel centers of each tile, flattened row-major → [C, P]
     tx = (tile_ids % gx).astype(jnp.float32)
@@ -127,8 +164,15 @@ def composite_tiles(
     n_chunks = tile_ids.shape[0] // chunk
     assert n_chunks * chunk == tile_ids.shape[0], "pad tile_ids to a chunk multiple"
 
+    sorted_fields = pack_sorted_fields(splats, bins, pad=config.max_per_tile)
     body = jax.checkpoint(
-        partial(_composite_chunk, splats=splats, bins=bins, gx=gx, config=config)
+        partial(
+            _composite_chunk,
+            sorted_fields=sorted_fields,
+            bins=bins,
+            gx=gx,
+            config=config,
+        )
     )
     out = jax.lax.map(body, tile_ids.reshape(n_chunks, chunk))  # [n, C, P, 4]
     return out.reshape(tile_ids.shape[0], ts, ts, 4)
@@ -181,7 +225,15 @@ def render_impl(
     """
     splats = project_gaussians(cloud, camera, width, height, config)
     bins = bin_splats(splats, width, height, config)
-    rgb, alpha = rasterize_tiles(splats, bins, width, height, config)
+
+    if config.use_pallas == "always" or (
+        config.use_pallas == "auto" and jax.default_backend() == "tpu"
+    ):
+        from .pallas.raster import rasterize_tiles_pallas
+
+        rgb, alpha = rasterize_tiles_pallas(splats, bins, width, height, config)
+    else:
+        rgb, alpha = rasterize_tiles(splats, bins, width, height, config)
 
     bg = jnp.asarray(config.background, dtype=rgb.dtype)
     img = rgb + (1.0 - alpha[..., None]) * bg

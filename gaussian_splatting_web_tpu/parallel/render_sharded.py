@@ -15,7 +15,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..config import RenderConfig
 from ..core.types import CameraParams, GaussianCloud
@@ -61,7 +61,7 @@ def render_sharded(
         mesh=mesh,
         in_specs=(P(), P(), P(AXES.tile)),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     def run(cloud, camera, my_tiles):
         splats = project_gaussians(cloud, camera, width, height, config)

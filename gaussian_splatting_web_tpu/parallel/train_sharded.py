@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..config import RenderConfig
 from ..core.types import CameraParams
@@ -87,7 +87,7 @@ def make_sharded_train_step(
         mesh=mesh,
         in_specs=(P(), P(AXES.data), P(AXES.data), P(AXES.tile)),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def grads_shard(params, cameras, targets, my_tiles):
         loss, g = jax.value_and_grad(local_loss)(params, cameras, targets, my_tiles)

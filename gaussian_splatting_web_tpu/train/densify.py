@@ -1,0 +1,208 @@
+"""Adaptive density control (INRIA §5.2: clone / split / prune / opacity
+reset) under XLA static shapes.
+
+The reference never trains (SURVEY.md intro), so this subsystem is new
+capability. The INRIA CUDA implementation reallocates tensors every
+densification step; that's hostile to jit/pjit, so here the model lives in a
+fixed-capacity arena:
+
+  * the model holds `capacity` slots; an `alive` bool mask marks real
+    gaussians (dead slots render as opacity −∞);
+  * clone/split allocate children into free slots via `jnp.nonzero(...,
+    size=capacity)` prefix allocation — everything stays fixed-shape and
+    jittable, overflow simply defers growth to the next round;
+  * prune just clears `alive` bits.
+
+Densification pressure is driven by the accumulated norm of the loss
+gradient w.r.t. screen-space splat centers (the INRIA criterion), which
+falls out of jax.grad on ProjectedSplats.mean2d.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.gaussian_model import GaussianModel
+
+DEAD_OPACITY = -100.0  # sigmoid ≈ 0: dead slots never rasterize
+
+
+@dataclasses.dataclass
+class DensifyState:
+    grad_accum: jax.Array   # [C] accumulated ||d loss / d mean2d||
+    denom: jax.Array        # [C] number of accumulations
+    alive: jax.Array        # [C] bool
+
+    @property
+    def capacity(self) -> int:
+        return self.alive.shape[0]
+
+
+jax.tree_util.register_dataclass(
+    DensifyState, data_fields=["grad_accum", "denom", "alive"], meta_fields=[]
+)
+
+
+def pad_to_capacity(model: GaussianModel, capacity: int
+                    ) -> Tuple[GaussianModel, DensifyState]:
+    """Place a model into a fixed-capacity arena."""
+    n = model.num_gaussians
+    if capacity < n:
+        raise ValueError(f"capacity {capacity} < model size {n}")
+    pad = capacity - n
+
+    def padf(x, fill=0.0):
+        width = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, width, constant_values=fill)
+
+    padded = GaussianModel(
+        xyz=padf(model.xyz),
+        log_scale=padf(model.log_scale),
+        quat=padf(model.quat),
+        opacity_logit=padf(model.opacity_logit, DEAD_OPACITY),
+        sh_dc=padf(model.sh_dc),
+        sh_rest=padf(model.sh_rest),
+    )
+    alive = jnp.arange(capacity) < n
+    zeros = jnp.zeros((capacity,), jnp.float32)
+    return padded, DensifyState(grad_accum=zeros, denom=zeros, alive=alive)
+
+
+def accumulate_stats(state: DensifyState, d_mean2d: jnp.ndarray,
+                     visible: jnp.ndarray) -> DensifyState:
+    """Add this step's screen-space positional gradient norms for visible
+    splats (INRIA add_densification_stats)."""
+    norm = jnp.linalg.norm(d_mean2d, axis=-1)
+    vis = visible & state.alive
+    return DensifyState(
+        grad_accum=state.grad_accum + jnp.where(vis, norm, 0.0),
+        denom=state.denom + vis.astype(jnp.float32),
+        alive=state.alive,
+    )
+
+
+def _alloc(free_ok: jnp.ndarray, want: jnp.ndarray):
+    """Map the k-th wanting source to the k-th free slot. Returns
+    (src_idx [C], dst_idx [C], pair_live [C])."""
+    c = free_ok.shape[0]
+    free_idx = jnp.nonzero(free_ok, size=c, fill_value=0)[0]
+    src_idx = jnp.nonzero(want, size=c, fill_value=0)[0]
+    n_pairs = jnp.minimum(jnp.sum(free_ok), jnp.sum(want))
+    k = jnp.arange(c)
+    return src_idx, free_idx, k < n_pairs
+
+
+def densify_and_prune(
+    model: GaussianModel,
+    state: DensifyState,
+    key: jax.Array,
+    grad_threshold: float = 2e-4,
+    percent_dense: float = 0.01,
+    scene_extent: float = 1.0,
+    min_opacity: float = 0.005,
+    max_world_radius_frac: float | None = None,
+) -> Tuple[GaussianModel, DensifyState]:
+    """One INRIA densification round (jittable, fixed shapes)."""
+    c = state.capacity
+    avg_grad = state.grad_accum / jnp.maximum(state.denom, 1.0)
+    max_scale = jnp.exp(jnp.max(model.log_scale, axis=-1))
+    dense_limit = percent_dense * scene_extent
+
+    hot = state.alive & (avg_grad >= grad_threshold)
+    clone_mask = hot & (max_scale <= dense_limit)
+    split_mask = hot & (max_scale > dense_limit)
+
+    # --- allocate children: one new slot per clone or split source -------
+    want = clone_mask | split_mask
+    free = ~state.alive
+    src, dst, live = _alloc(free, want)
+
+    def take(x, idx):
+        return x[idx]
+
+    # children copy the source
+    child = jax.tree_util.tree_map(lambda x: take(x, src), model)
+    child_is_split = split_mask[src]
+
+    # split children (and their sources): resample position from the
+    # gaussian, scale ÷ 1.6 (INRIA densify_and_split)
+    noise = jax.random.normal(key, (c, 3))
+    scale_src = jnp.exp(child.log_scale)
+    from ..ops.projection import quat_to_rotmat
+
+    R = quat_to_rotmat(child.quat)
+    offset = jnp.einsum("nij,nj->ni", R, noise * scale_src)
+    split_xyz = child.xyz + offset
+    split_log_scale = child.log_scale - jnp.log(1.6)
+
+    child = dataclasses.replace(
+        child,
+        xyz=jnp.where(child_is_split[:, None], split_xyz, child.xyz),
+        log_scale=jnp.where(
+            child_is_split[:, None], split_log_scale, child.log_scale
+        ),
+    )
+
+    # scatter children into free slots
+    def scatter(dst_arr, child_arr):
+        idx = jnp.where(live, dst, c)  # c → dropped
+        return dst_arr.at[idx].set(child_arr, mode="drop")
+
+    new_model = jax.tree_util.tree_map(scatter, model, child)
+
+    # shrink split *sources* in place too
+    src_split = split_mask
+    new_model = dataclasses.replace(
+        new_model,
+        log_scale=jnp.where(
+            src_split[:, None], new_model.log_scale - jnp.log(1.6),
+            new_model.log_scale,
+        ),
+    )
+
+    alive = state.alive.at[jnp.where(live, dst, c)].set(True, mode="drop")
+
+    # --- prune ----------------------------------------------------------
+    opacity = jax.nn.sigmoid(new_model.opacity_logit)
+    dead = opacity < min_opacity
+    if max_world_radius_frac is not None:
+        # INRIA prunes oversized gaussians only in later iterations; enable
+        # by passing a fraction of the scene extent
+        dead = dead | (
+            jnp.exp(jnp.max(new_model.log_scale, axis=-1))
+            > max_world_radius_frac * scene_extent
+        )
+    alive = alive & ~dead
+
+    # dead slots must never rasterize
+    new_model = dataclasses.replace(
+        new_model,
+        opacity_logit=jnp.where(alive, new_model.opacity_logit, DEAD_OPACITY),
+    )
+
+    zeros = jnp.zeros((c,), jnp.float32)
+    return new_model, DensifyState(grad_accum=zeros, denom=zeros, alive=alive)
+
+
+def reset_opacity(model: GaussianModel, alive: jnp.ndarray,
+                  max_opacity: float = 0.01) -> GaussianModel:
+    """INRIA periodic opacity reset: clamp opacity to ≤ max_opacity."""
+    cap_logit = jnp.log(max_opacity / (1 - max_opacity)).astype(jnp.float32)
+    new_logit = jnp.minimum(model.opacity_logit, cap_logit)
+    return dataclasses.replace(
+        model,
+        opacity_logit=jnp.where(alive, new_logit, DEAD_OPACITY),
+    )
+
+
+def compact(model: GaussianModel, state: DensifyState) -> GaussianModel:
+    """Drop dead slots (host-side, for export)."""
+    import numpy as np
+
+    alive = np.asarray(state.alive)
+    return jax.tree_util.tree_map(lambda x: jnp.asarray(np.asarray(x)[alive]),
+                                  model)

@@ -92,5 +92,23 @@ def time_fn(fn: Callable, *args, iters: int = 10, warmup: int = 2) -> float:
     return times[len(times) // 2]
 
 
+def time_fn_device(body: Callable, iters: int = 8, reps: int = 3) -> float:
+    """Seconds per iteration of `body`, measured with an on-device
+    `fori_loop` so per-call dispatch/tunnel overhead (tens of ms through the
+    axon relay) amortizes away.
+
+    `body(carry: f32[]) -> f32[]` must *consume* the carry (e.g. perturb an
+    input by `carry * 1e-30`) so XLA cannot hoist it out of the loop, and
+    return a scalar contribution (e.g. `sum(out) * 1e-30`).
+    """
+    f1 = jax.jit(lambda: jax.lax.fori_loop(0, 1, lambda i, c: body(c), 0.0))
+    fn = jax.jit(
+        lambda: jax.lax.fori_loop(0, iters, lambda i, c: body(c), 0.0)
+    )
+    t1 = time_fn(f1, iters=reps, warmup=1)
+    tn = time_fn(fn, iters=reps, warmup=1)
+    return max((tn - t1) / (iters - 1), 1e-9)
+
+
 def throughput_mpixps(width: int, height: int, seconds: float) -> float:
     return width * height / seconds / 1e6

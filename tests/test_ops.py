@@ -168,3 +168,28 @@ def test_bin_splats_overflow_counted():
     s = project_gaussians(cloud, camera, w, h, cfg)
     bins = bin_splats(s, w, h, cfg)
     assert int(bins.overflow) == 1
+
+
+def test_bin_splats_packed_matches_exact():
+    """depth_bits>0 packs (tile, depth) into one u32 key; segment membership
+    must match the exact two-key sort, and per-tile order must still be
+    depth-sorted up to the quantization quantum."""
+    cloud, camera, w, h = _setup(n=80)
+    from gaussian_splatting_web_tpu.ops.projection import project_gaussians as pg
+    cfg_exact = RenderConfig(max_dup=64, depth_bits=0)
+    cfg_packed = RenderConfig(max_dup=64, depth_bits=19)
+    s = pg(cloud, camera, w, h, cfg_exact)
+    be = bin_splats(s, w, h, cfg_exact)
+    bp = bin_splats(s, w, h, cfg_packed)
+    np.testing.assert_array_equal(np.asarray(be.tile_start), np.asarray(bp.tile_start))
+    np.testing.assert_array_equal(np.asarray(be.tile_count), np.asarray(bp.tile_count))
+    # same member sets per tile; packed order is depth-correct within quantum
+    start = np.asarray(be.tile_start); count = np.asarray(be.tile_count)
+    ge, gp = np.asarray(be.sorted_gidx), np.asarray(bp.sorted_gidx)
+    depth = np.asarray(s.depth)
+    for t in range(len(start)):
+        seg_e = ge[start[t]:start[t]+count[t]]
+        seg_p = gp[start[t]:start[t]+count[t]]
+        assert set(seg_e) == set(seg_p)
+        d = depth[seg_p]
+        assert np.all(np.diff(d) >= -1e-3 * np.maximum(np.abs(d[:-1]), 1))

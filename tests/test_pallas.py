@@ -1,0 +1,73 @@
+"""Pallas kernel tests (interpret mode on CPU — same kernel code that runs
+compiled on TPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gaussian_splatting_web_tpu.config import RenderConfig
+from gaussian_splatting_web_tpu.core import camera as cam
+from gaussian_splatting_web_tpu.ops.projection import project_gaussians
+from gaussian_splatting_web_tpu.ops.rasterize import rasterize_tiles
+from gaussian_splatting_web_tpu.ops.sort import bin_splats
+from gaussian_splatting_web_tpu.ops.pallas.raster import rasterize_tiles_pallas
+from tests.conftest import make_random_cloud
+
+CFG = RenderConfig(max_dup=64, max_per_tile=256, tile_chunk=4)
+
+
+def _setup(n=60, seed=0, sh_degree=1, w=64, h=48, cfg=CFG):
+    cloud = make_random_cloud(n, seed=seed, sh_degree=sh_degree)
+    camera = cam.default_camera(w, h, eye=(0, 0, -6), center=(0, 0, 0))
+    s = project_gaussians(cloud, camera, w, h, cfg)
+    b = bin_splats(s, w, h, cfg)
+    return s, b, w, h
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_pallas_matches_xla(seed):
+    s, b, w, h = _setup(seed=seed)
+    rgb0, a0 = rasterize_tiles(s, b, w, h, CFG)
+    rgb1, a1 = rasterize_tiles_pallas(s, b, w, h, CFG, True)
+    np.testing.assert_allclose(np.asarray(rgb1), np.asarray(rgb0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a0), atol=1e-5)
+
+
+def test_pallas_early_termination_scene():
+    """Opaque stacked scene exercises the early-exit path."""
+    n = 40
+    cloud = make_random_cloud(n, seed=5, sh_degree=0)
+    rng = np.random.default_rng(7)
+    cloud.xyz = np.concatenate(
+        [rng.normal(scale=0.05, size=(n, 2)), rng.uniform(-2, 2, (n, 1))], axis=1
+    ).astype(np.float32)
+    cloud.opacity_logit = np.full((n,), 6.0, dtype=np.float32)
+    cloud.log_scale = np.full((n, 3), -0.7, dtype=np.float32)
+    w = h = 48
+    camera = cam.default_camera(w, h, eye=(0, 0, -6), center=(0, 0, 0))
+    s = project_gaussians(cloud, camera, w, h, CFG)
+    b = bin_splats(s, w, h, CFG)
+    rgb0, _ = rasterize_tiles(s, b, w, h, CFG)
+    rgb1, _ = rasterize_tiles_pallas(s, b, w, h, CFG, True)
+    np.testing.assert_allclose(np.asarray(rgb1), np.asarray(rgb0), atol=1e-5)
+
+
+def test_pallas_grad_through_custom_vjp():
+    s, b, w, h = _setup(n=20)
+
+    def loss_pallas(s):
+        rgb, a = rasterize_tiles_pallas(s, b, w, h, CFG, True)
+        return jnp.sum(rgb**2)
+
+    def loss_xla(s):
+        rgb, a = rasterize_tiles(s, b, w, h, CFG)
+        return jnp.sum(rgb**2)
+
+    g1 = jax.grad(loss_pallas, allow_int=True)(s)
+    g0 = jax.grad(loss_xla, allow_int=True)(s)
+    for name in ("mean2d", "conic", "rgb", "opacity"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(g1, name)), np.asarray(getattr(g0, name)),
+            atol=1e-4, err_msg=name,
+        )
