@@ -25,7 +25,11 @@ def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def make_scene(n, seed=0, sh_degree=3):
+def make_scene(n, seed=0, sh_degree=3, log_scale_range=(-6.0, -4.0)):
+    """Synthetic scene shaped like an INRIA-trained capture: many small
+    splats (screen footprints of a few pixels to a couple of tiles), which
+    is what real trained scenes look like (garden/bicycle: 1-6M splats at
+    roughly pixel scale)."""
     from .core.types import GaussianCloud
 
     rng = np.random.default_rng(seed)
@@ -34,7 +38,7 @@ def make_scene(n, seed=0, sh_degree=3):
     q /= np.linalg.norm(q, axis=1, keepdims=True)
     return GaussianCloud(
         xyz=(rng.normal(size=(n, 3)) * 2.0).astype(np.float32),
-        log_scale=rng.uniform(-4.5, -2.5, size=(n, 3)).astype(np.float32),
+        log_scale=rng.uniform(*log_scale_range, size=(n, 3)).astype(np.float32),
         quat=q,
         opacity_logit=rng.uniform(-3, 1, size=(n,)).astype(np.float32),
         sh=rng.normal(scale=0.3, size=(n, k, 3)).astype(np.float32),
@@ -45,7 +49,7 @@ def run(
     ply: Optional[str] = None,
     width: int = 1920,
     height: int = 1080,
-    n_synthetic: int = 100_000,
+    n_synthetic: int = 1_000_000,
     emit_json: bool = True,
 ) -> dict:
     import jax
@@ -66,7 +70,7 @@ def run(
     from .utils.metrics import time_fn_device
 
     config = RenderConfig(
-        max_dup=32, max_per_tile=512, tile_chunk=32, depth_bits=19
+        max_dup=8, max_per_tile=1024, tile_chunk=32, depth_bits=19
     )
 
     _log(f"platform={jax.default_backend()} devices={jax.devices()}")

@@ -42,7 +42,8 @@ def _config(args):
     from .config import RenderConfig
 
     kw = {}
-    for f in ("tile_size", "max_dup", "max_per_tile", "tile_chunk"):
+    for f in ("tile_size", "max_dup", "max_per_tile", "tile_chunk",
+              "depth_bits"):
         v = getattr(args, f, None)
         if v is not None:
             kw[f] = v
@@ -109,6 +110,45 @@ def cmd_bench(args):
     bench_lib.run(ply=args.ply, width=args.width, height=args.height)
 
 
+def cmd_train(args):
+    import jax
+
+    from .io.dataset import load_dataset
+    from .models.gaussian_model import GaussianModel
+    from .train.checkpoint import save_ply, save_train_state
+    from .train.densify import compact
+    from .train.train_loop import TrainLoopConfig, train
+
+    views = load_dataset(args.cameras, args.images, args.width, args.height,
+                         limit=args.limit or None)
+    print(f"{len(views)} training views at {args.width}x{args.height}",
+          file=sys.stderr)
+
+    if args.ply:
+        model = GaussianModel.from_cloud(_load(args))
+    else:
+        # bootstrap from random points inside the camera hull
+        import numpy as np
+
+        centers = np.stack([np.asarray(v.camera.cam_pos) for v in views])
+        lo, hi = centers.min(0) - 1, centers.max(0) + 1
+        rng = np.random.default_rng(0)
+        xyz = rng.uniform(lo, hi, size=(20_000, 3)).astype(np.float32)
+        model = GaussianModel.from_points(xyz, sh_degree=3)
+
+    state, dstate = train(
+        model, views, args.width, args.height,
+        render_config=_config(args),
+        loop=TrainLoopConfig(iterations=args.iterations),
+    )
+    final = compact(state.params, dstate)
+    save_ply(final, args.out)
+    print(f"saved {final.num_gaussians} gaussians → {args.out}",
+          file=sys.stderr)
+    if args.checkpoint:
+        save_train_state(state, args.checkpoint)
+
+
 def cmd_serve(args):
     from .viewer.server import serve
 
@@ -129,6 +169,8 @@ def main(argv=None):
         sp.add_argument("--max-dup", dest="max_dup", type=int)
         sp.add_argument("--max-per-tile", dest="max_per_tile", type=int)
         sp.add_argument("--tile-chunk", dest="tile_chunk", type=int)
+        sp.add_argument("--depth-bits", dest="depth_bits", type=int,
+                        help="packed sort depth bits (0 = exact sort)")
 
     sp = sub.add_parser("info", help="scene statistics")
     sp.add_argument("--ply", required=True)
@@ -144,6 +186,16 @@ def main(argv=None):
     sp = sub.add_parser("bench", help="throughput benchmark")
     common(sp, ply_required=False)
     sp.set_defaults(fn=cmd_bench)
+
+    sp = sub.add_parser("train", help="train a scene from posed images")
+    common(sp, ply_required=False)
+    sp.add_argument("--cameras", required=True, help="INRIA cameras.json")
+    sp.add_argument("--images", required=True, help="directory of images")
+    sp.add_argument("--out", default="trained.ply")
+    sp.add_argument("--iterations", type=int, default=7000)
+    sp.add_argument("--limit", type=int, default=0, help="max training views")
+    sp.add_argument("--checkpoint", help="orbax checkpoint dir to save into")
+    sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("serve", help="interactive web viewer")
     common(sp)

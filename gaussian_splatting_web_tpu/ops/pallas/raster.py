@@ -22,9 +22,8 @@ Layout: pixels in sublanes (P = 256 rows), splat chunk in lanes (KC = 128
 columns); per-splat scalars broadcast from [1, KC] slab rows.
 
 The public entry `rasterize_tiles_pallas` carries a custom VJP whose
-backward evaluates the XLA-path compositor's gradient (identical math), so
-the fast kernel is usable inside jax.grad today; a handwritten back-to-front
-backward kernel is the planned replacement.
+backward is the fused kernel in raster_bwd (single back-to-front sweep over
+the stored per-chunk transmittance carries) plus one XLA segment-sum.
 """
 
 from __future__ import annotations
@@ -48,8 +47,10 @@ F_PAD = 16        # field rows, padded to a full sublane tile
 def _kernel(
     starts_ref,            # SMEM [T] int32 (scalar prefetch)
     counts_ref,            # SMEM [T] int32 (scalar prefetch)
+    tiles_ref,             # SMEM [G] int32 (scalar prefetch): grid→tile id
     fields_hbm,            # ANY  [F_PAD, M_pad] f32 (field-major, sorted)
     out_ref,               # VMEM [P, 4] f32
+    carr_ref,              # VMEM [P, MAXC] f32 out: start-of-chunk log T
     slab_ref,              # VMEM scratch [2, F_PAD, KC]
     sem_ref,               # DMA semaphores (2,)
     *,
@@ -60,7 +61,7 @@ def _kernel(
     alpha_max: float,
     log_eps: float,
 ):
-    t = pl.program_id(0)
+    t = tiles_ref[pl.program_id(0)]
     p = tile_size * tile_size
 
     start = starts_ref[t]
@@ -98,8 +99,20 @@ def _kernel(
     def _():
         dma(0, 0).start()
 
+    maxc = carr_ref.shape[1]
+
     def chunk_body(state):
         c, carry, r_acc, g_acc, b_acc, a_acc = state
+
+        # record start-of-chunk transmittance for the backward sweep;
+        # single-lane stores need static offsets → switch over the (small,
+        # static) chunk index
+        def _store(ci):
+            def f():
+                carr_ref[:, ci : ci + 1] = carry
+            return f
+
+        jax.lax.switch(jnp.minimum(c, maxc - 1), [_store(i) for i in range(maxc)])
 
         @pl.when(c + 1 < n_chunks)
         def _():
@@ -158,6 +171,9 @@ def _kernel(
         dma(c_final % 2, c_final).wait()
 
     out_ref[:, :] = jnp.concatenate([r_acc, g_acc, b_acc, a_acc], axis=1)
+    # unprocessed chunks get a -inf-like sentinel (skipped by backward)
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (p, maxc), 1)
+    carr_ref[:, :] = jnp.where(lane_c < c_final, carr_ref[:, :], -1e30)
 
 
 def _sorted_fields_t(
@@ -166,10 +182,12 @@ def _sorted_fields_t(
     """[F_PAD, M + pad] field-major sorted splat array for slab DMA."""
     from ..rasterize import pack_sorted_fields
 
-    fields = pack_sorted_fields(splats, bins, pad=k_cap + KC)  # [M+pad, 9]
-    m_pad = fields.shape[0]
-    out = jnp.zeros((F_PAD, m_pad), jnp.float32)
-    return jax.lax.dynamic_update_slice(out, fields.T, (0, 0))
+    fields = pack_sorted_fields(splats, bins, pad=k_cap + KC)  # [M+pad, 16]
+    return fields.T
+
+
+def k_cap_for(config: RenderConfig) -> int:
+    return max(KC, ((config.max_per_tile + KC - 1) // KC) * KC)
 
 
 def composite_tiles_pallas(
@@ -179,15 +197,24 @@ def composite_tiles_pallas(
     height: int,
     config: RenderConfig,
     interpret: bool = False,
-) -> jnp.ndarray:
-    """All tiles, row-major → [T, P, 4] (rgb + alpha)."""
+    fields_t: jnp.ndarray | None = None,
+    tile_ids: jnp.ndarray | None = None,
+):
+    """Composite `tile_ids` (default: all tiles row-major) →
+    (tiles [G, P, 4], carries [G, P, MAXC], fields_t). `carries` holds the
+    per-chunk starting log-transmittance the backward kernel consumes."""
     ts = config.tile_size
     gx, gy = config.grid_size(width, height)
     num_tiles = gx * gy
     p = ts * ts
-    k_cap = max(KC, ((config.max_per_tile + KC - 1) // KC) * KC)
+    k_cap = k_cap_for(config)
+    maxc = k_cap // KC
 
-    fields_t = _sorted_fields_t(splats, bins, k_cap)
+    if tile_ids is None:
+        tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    grid_n = tile_ids.shape[0]
+    if fields_t is None:
+        fields_t = _sorted_fields_t(splats, bins, k_cap)
 
     kernel = functools.partial(
         _kernel,
@@ -199,25 +226,32 @@ def composite_tiles_pallas(
         log_eps=float(math.log(config.transmittance_eps)),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(num_tiles,),
+        num_scalar_prefetch=3,
+        grid=(grid_n,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((None, p, 4), lambda t, starts, counts: (t, 0, 0)),
+        out_specs=(
+            pl.BlockSpec((None, p, 4), lambda g, starts, counts, tiles: (g, 0, 0)),
+            pl.BlockSpec((None, p, maxc),
+                         lambda g, starts, counts, tiles: (g, 0, 0)),
+        ),
         scratch_shapes=[
             pltpu.VMEM((2, F_PAD, KC), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    out = pl.pallas_call(
+    out, carries = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, p, 4), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((grid_n, p, 4), jnp.float32),
+            jax.ShapeDtypeStruct((grid_n, p, maxc), jnp.float32),
+        ),
         interpret=interpret,
     )(bins.tile_start, jnp.minimum(bins.tile_count, k_cap).astype(jnp.int32),
-      fields_t)
-    return out
+      tile_ids.astype(jnp.int32), fields_t)
+    return out, carries, fields_t
 
 
 def _forward(splats, bins, width, height, config, interpret=False):
@@ -225,10 +259,11 @@ def _forward(splats, bins, width, height, config, interpret=False):
 
     ts = config.tile_size
     gx, gy = config.grid_size(width, height)
-    tiles = composite_tiles_pallas(splats, bins, width, height, config,
-                                   interpret=interpret)
+    tiles, carries, fields_t = composite_tiles_pallas(
+        splats, bins, width, height, config, interpret=interpret
+    )
     out = assemble_image(tiles.reshape(-1, ts, ts, 4), width, height, gx, gy)
-    return out[..., :3], out[..., 3]
+    return (out[..., :3], out[..., 3]), carries, fields_t
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
@@ -236,25 +271,63 @@ def rasterize_tiles_pallas(splats, bins, width, height, config,
                            interpret=False):
     """Pallas-fused equivalent of ops.rasterize.rasterize_tiles.
 
-    Returns (rgb [H, W, 3], alpha [H, W]). Differentiable: the backward pass
-    currently evaluates the XLA compositor's VJP (identical math).
+    Returns (rgb [H, W, 3], alpha [H, W]). Differentiable: the backward is
+    the fused Pallas kernel in raster_bwd (same math, back-to-front sweep)
+    plus one segment-sum folding pair gradients onto splats.
     """
-    return _forward(splats, bins, width, height, config, interpret)
+    out, _, _ = _forward(splats, bins, width, height, config, interpret)
+    return out
 
 
 def _fwd(splats, bins, width, height, config, interpret=False):
-    out = _forward(splats, bins, width, height, config, interpret)
-    return out, (splats, bins)
+    out, carries, fields_t = _forward(splats, bins, width, height, config,
+                                      interpret)
+    return out, (splats, bins, carries, fields_t)
+
+
+def _cot_to_tiles(cotangent, width, height, config):
+    """(d_rgb [H,W,3], d_alpha [H,W]) → [T, P, 4] tile-major cotangents
+    (transpose of assemble_image + crop)."""
+    d_rgb, d_alpha = cotangent
+    ts = config.tile_size
+    gx, gy = config.grid_size(width, height)
+    cot = jnp.concatenate([d_rgb, d_alpha[..., None]], axis=-1)
+    cot = jnp.pad(
+        cot, ((0, gy * ts - height), (0, gx * ts - width), (0, 0))
+    )
+    cot = cot.reshape(gy, ts, gx, ts, 4).transpose(0, 2, 1, 3, 4)
+    return cot.reshape(gx * gy, ts * ts, 4)
 
 
 def _bwd(width, height, config, interpret, residuals, cotangent):
-    from ..rasterize import rasterize_tiles
+    import numpy as np
 
-    splats, bins = residuals
-    _, vjp_fn = jax.vjp(
-        lambda s: rasterize_tiles(s, bins, width, height, config), splats
+    from .raster_bwd import backward_pair_grads
+
+    splats, bins, carries, fields_t = residuals
+    n = splats.depth.shape[0]
+    m = bins.sorted_gidx.shape[0]
+
+    cot_tiles = _cot_to_tiles(cotangent, width, height, config)
+    dpairs = backward_pair_grads(
+        fields_t, carries, cot_tiles, bins.tile_start, bins.tile_count,
+        width, height, config, interpret=interpret,
     )
-    (d_splats,) = vjp_fn(cotangent)
+    rows = dpairs[:9, :m].T                                   # [M, 9]
+    seg = jax.ops.segment_sum(rows, bins.sorted_gidx, num_segments=n)
+
+    f0 = np.zeros((), jax.dtypes.float0)
+
+    d_splats = ProjectedSplats(
+        mean2d=seg[:, 0:2],
+        conic=seg[:, 2:5],
+        depth=jnp.zeros_like(splats.depth),
+        radius=jnp.zeros_like(splats.radius),
+        rgb=seg[:, 5:8],
+        opacity=seg[:, 8],
+        valid=np.zeros(splats.valid.shape, jax.dtypes.float0),
+    )
+    del f0
     return d_splats, None
 
 

@@ -1,0 +1,272 @@
+"""Fused Pallas backward kernel for the tile compositor.
+
+The INRIA backward is a sequential back-to-front CUDA walk per pixel. Here
+it is re-derived for the log-transmittance formulation and vectorized the
+same way as the forward: pixels in sublanes, splat chunks in lanes, the two
+order-dependent quantities realized as triangular matmuls on the MXU —
+
+  prefix (transmittance):  T_k = exp(carry + Σ_{j<k} log(1-α_j))
+  suffix (downstream color): S_k = Σ_{j>k} r_j w_j,  r_j = g_rgb·c_j + g_α
+
+giving the classic gradients (k contributing):
+  ∂L/∂c_k = w_k g_rgb        ∂L/∂α_k = T_k r_k − S_k / (1-α_k)
+
+The forward kernel stores the per-chunk log-transmittance carries
+(`carries`), so the backward makes a single back-to-front sweep per tile:
+stream the slab, recompute α, form the suffix with a strict-lower-triangular
+matmul, reduce over pixels, and accumulate per-pair gradients into the
+(tile,depth)-sorted pair-gradient array with read-add-write DMA (adjacent
+tiles share boundary 128-lane blocks; grid steps execute sequentially so
+RMW is race-free). A single XLA segment-sum then folds pair gradients onto
+splats.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...config import RenderConfig
+from .raster import F_PAD, KC
+
+
+def _bwd_kernel(
+    starts_ref,            # SMEM [T] int32
+    counts_ref,            # SMEM [T] int32
+    tiles_ref,             # SMEM [G] int32: grid→tile id
+    fields_hbm,            # ANY  [F_PAD, M_pad] f32
+    carries_ref,           # VMEM [P, MAXC] f32 (start-of-chunk log T)
+    cot_ref,               # VMEM [P, 4] f32 (g_r, g_g, g_b, g_alpha)
+    dzero_hbm,             # ANY  [F_PAD, M_pad] f32 (zeros, aliased to out)
+    dpairs_hbm,            # ANY  [F_PAD, M_pad] f32 out (aliased)
+    slab_ref,              # VMEM scratch [2, F_PAD, KC]
+    rmw_ref,               # VMEM scratch [F_PAD, KC]
+    sem_ref,               # DMA semaphores (4,)
+    *,
+    gx: int,
+    tile_size: int,
+    k_cap: int,
+    alpha_cutoff: float,
+    alpha_max: float,
+    log_eps: float,
+):
+    del dzero_hbm
+    t = tiles_ref[pl.program_id(0)]
+    p = tile_size * tile_size
+    maxc = carries_ref.shape[1]
+
+    start = starts_ref[t]
+    count = jnp.minimum(counts_ref[t], k_cap)
+    base = (start // KC) * KC
+    lead = start - base
+    total = lead + count
+    n_chunks = pl.cdiv(total, KC)
+
+    # chunks whose starting transmittance is already below threshold were
+    # never processed forward (carry sentinel -1e30) or contribute nothing
+    chunk_live = jnp.max(carries_ref[:, :], axis=0, keepdims=True) >= log_eps
+    chunk_idx = jax.lax.broadcasted_iota(jnp.int32, (1, maxc), 1)
+    useful = jnp.sum(
+        jnp.where(jnp.logical_and(chunk_live, chunk_idx < n_chunks), 1, 0)
+    )
+
+    tx = (t % gx).astype(jnp.float32)
+    ty = (t // gx).astype(jnp.float32)
+    pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    px = tx * tile_size + (pix % tile_size).astype(jnp.float32)
+    py = ty * tile_size + (pix // tile_size).astype(jnp.float32)
+
+    tri = (
+        jax.lax.broadcasted_iota(jnp.int32, (KC, KC), 0)
+        <= jax.lax.broadcasted_iota(jnp.int32, (KC, KC), 1)
+    ).astype(jnp.float32)
+    tri_strict_low = (
+        jax.lax.broadcasted_iota(jnp.int32, (KC, KC), 0)
+        > jax.lax.broadcasted_iota(jnp.int32, (KC, KC), 1)
+    ).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, KC), 1)
+
+    g_r = cot_ref[:, 0:1]
+    g_g = cot_ref[:, 1:2]
+    g_b = cot_ref[:, 2:3]
+    g_a = cot_ref[:, 3:4]
+
+    def slab_dma(slot, c):
+        off = pl.multiple_of(base + c * KC, KC)
+        return pltpu.make_async_copy(
+            fields_hbm.at[:, pl.ds(off, KC)],
+            slab_ref.at[slot],
+            sem_ref.at[slot],
+        )
+
+    @pl.when(useful > 0)
+    def _():
+        slab_dma(0, useful - 1).start()
+
+    def body(i, s_carry):
+        c = useful - 1 - i
+
+        @pl.when(i + 1 < useful)
+        def _():
+            slab_dma((i + 1) % 2, c - 1).start()
+
+        slab_dma(i % 2, c).wait()
+        slab = slab_ref[i % 2]
+
+        mx = slab[0:1, :]
+        my = slab[1:2, :]
+        ca = slab[2:3, :]
+        cb = slab[3:4, :]
+        cc = slab[4:5, :]
+        fr = slab[5:6, :]
+        fg = slab[6:7, :]
+        fb = slab[7:8, :]
+        op = slab[8:9, :]
+
+        dx = px - mx
+        dy = py - my
+        raw_power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        power = jnp.minimum(raw_power, 0.0)
+        e_pow = jnp.exp(power)
+        a_pre = op * e_pow
+        alpha = jnp.minimum(a_pre, alpha_max)
+        cut = alpha < alpha_cutoff
+        g_idx = c * KC + lane
+        window = jnp.logical_and(g_idx >= lead, g_idx < total)
+        dead = jnp.logical_or(cut, jnp.logical_not(window))
+        alpha = jnp.where(dead, 0.0, alpha)
+
+        log1m = jnp.log1p(-alpha)
+        cum = jnp.dot(log1m, tri, preferred_element_type=jnp.float32)
+        # single-lane reads need static offsets → switch over chunk index
+        carry_c = jax.lax.switch(
+            jnp.minimum(c, maxc - 1),
+            [(lambda ci=ci: carries_ref[:, ci : ci + 1]) for ci in range(maxc)],
+        )
+        log_t_incl = carry_c + cum
+        contrib = log_t_incl >= log_eps
+        t_excl = jnp.exp(log_t_incl - log1m)
+        w = jnp.where(contrib, alpha * t_excl, 0.0)
+
+        r = g_r * fr + g_g * fg + g_b * fb + g_a          # [P, KC]
+        rw = r * w
+        suffix = jnp.dot(rw, tri_strict_low,
+                         preferred_element_type=jnp.float32)
+        s_k = s_carry + suffix
+
+        dalpha = jnp.where(
+            jnp.logical_and(contrib, jnp.logical_not(dead)),
+            t_excl * r - s_k / (1.0 - alpha),
+            0.0,
+        )
+        # chain through the alpha_max clamp and the 1/255 cutoff
+        da_pre = jnp.where(a_pre > alpha_max, 0.0, dalpha)
+        d_op = jnp.sum(da_pre * e_pow, axis=0, keepdims=True)
+        dpow = da_pre * a_pre
+        dpow = jnp.where(raw_power > 0.0, 0.0, dpow)
+
+        d_mx = jnp.sum(dpow * (ca * dx + cb * dy), axis=0, keepdims=True)
+        d_my = jnp.sum(dpow * (cc * dy + cb * dx), axis=0, keepdims=True)
+        d_ca = jnp.sum(dpow * (-0.5 * dx * dx), axis=0, keepdims=True)
+        d_cb = jnp.sum(dpow * (-dx * dy), axis=0, keepdims=True)
+        d_cc = jnp.sum(dpow * (-0.5 * dy * dy), axis=0, keepdims=True)
+        d_fr = jnp.sum(w * g_r, axis=0, keepdims=True)
+        d_fg = jnp.sum(w * g_g, axis=0, keepdims=True)
+        d_fb = jnp.sum(w * g_b, axis=0, keepdims=True)
+
+        # read-add-write the pair-gradient block (sequential grid ⇒ safe)
+        off = pl.multiple_of(base + c * KC, KC)
+        read = pltpu.make_async_copy(
+            dpairs_hbm.at[:, pl.ds(off, KC)], rmw_ref, sem_ref.at[2]
+        )
+        read.start()
+        read.wait()
+        grads = jnp.concatenate(
+            [d_mx, d_my, d_ca, d_cb, d_cc, d_fr, d_fg, d_fb, d_op,
+             jnp.zeros((F_PAD - 9, KC), jnp.float32)],
+            axis=0,
+        )
+        rmw_ref[:, :] = rmw_ref[:, :] + grads
+        write = pltpu.make_async_copy(
+            rmw_ref, dpairs_hbm.at[:, pl.ds(off, KC)], sem_ref.at[3]
+        )
+        write.start()
+        write.wait()
+
+        return s_carry + jnp.sum(rw, axis=1, keepdims=True)
+
+    jax.lax.fori_loop(0, useful, body, jnp.zeros((p, 1), jnp.float32))
+
+
+def backward_pair_grads(
+    fields_t: jnp.ndarray,        # [F_PAD, M_pad] from _sorted_fields_t
+    carries: jnp.ndarray,         # [G, P, MAXC] forward carries
+    cot_tiles: jnp.ndarray,       # [G, P, 4] cotangents per tile pixel
+    tile_start: jnp.ndarray,
+    tile_count: jnp.ndarray,
+    width: int,
+    height: int,
+    config: RenderConfig,
+    interpret: bool = False,
+    tile_ids: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Run the backward kernel → pair gradients [F_PAD, M_pad]."""
+    ts = config.tile_size
+    gx, gy = config.grid_size(width, height)
+    num_tiles = gx * gy
+    if tile_ids is None:
+        tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    grid_n = tile_ids.shape[0]
+    p = ts * ts
+    k_cap = max(KC, ((config.max_per_tile + KC - 1) // KC) * KC)
+    maxc = carries.shape[-1]
+    m_pad = fields_t.shape[1]
+
+    kernel = functools.partial(
+        _bwd_kernel,
+        gx=gx,
+        tile_size=ts,
+        k_cap=k_cap,
+        alpha_cutoff=config.alpha_cutoff,
+        alpha_max=config.alpha_max,
+        log_eps=float(math.log(config.transmittance_eps)),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(grid_n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),                         # fields
+            pl.BlockSpec((None, p, maxc), lambda g, s, c, t: (g, 0, 0)),  # carries
+            pl.BlockSpec((None, p, 4), lambda g, s, c, t: (g, 0, 0)),     # cot
+            pl.BlockSpec(memory_space=pl.ANY),                         # dzero
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, F_PAD, KC), jnp.float32),
+            pltpu.VMEM((F_PAD, KC), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    dzero = jnp.zeros((F_PAD, m_pad), jnp.float32)
+    dpairs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((F_PAD, m_pad), jnp.float32),
+        input_output_aliases={6: 0},  # flat input index incl. scalar prefetch
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        tile_start,
+        jnp.minimum(tile_count, k_cap).astype(jnp.int32),
+        tile_ids.astype(jnp.int32),
+        fields_t,
+        carries,
+        cot_tiles,
+        dzero,
+    )
+    return dpairs

@@ -1,0 +1,183 @@
+"""Full 3DGS training loop: photometric optimization + adaptive density
+control + progressive SH, against posed images (io.dataset).
+
+The INRIA recipe re-expressed jit-first:
+  * one jitted step computes loss, parameter grads, AND the screen-space
+    positional gradients that drive densification — the latter via a
+    zero-valued auxiliary parameter added to the projected means (its
+    gradient IS d loss / d mean2d, with no second pass);
+  * densification/pruning runs every `densify_every` steps as a jitted
+    fixed-shape arena update (train.densify); the optimizer state is
+    re-initialized after each round (moments for re-allocated slots must
+    not leak — INRIA zeroes them per-row, we reset wholesale);
+  * opacity reset every `opacity_reset_every`; SH degree unlocks one band
+    every `sh_upgrade_every` (INRIA oneupSHdegree).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+import time
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import RenderConfig
+from ..core.types import CameraParams
+from ..io.dataset import View, scene_extent
+from ..models.gaussian_model import GaussianModel
+from ..ops.projection import project_gaussians
+from ..ops.rasterize import rasterize_tiles
+from ..ops.sort import bin_splats
+from .densify import (
+    DensifyState, accumulate_stats, densify_and_prune, pad_to_capacity,
+    reset_opacity,
+)
+from .loss import photometric_loss
+from .trainer import TrainState, make_optimizer
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainLoopConfig:
+    iterations: int = 7000
+    densify_from: int = 500
+    densify_until: int = 5000
+    densify_every: int = 300
+    opacity_reset_every: int = 3000
+    sh_upgrade_every: int = 1000
+    grad_threshold: float = 2e-4
+    percent_dense: float = 0.01
+    min_opacity: float = 0.005
+    lambda_dssim: float = 0.2
+    capacity_factor: float = 4.0   # arena size as multiple of initial N
+    log_every: int = 50
+    seed: int = 0
+
+
+def make_densify_train_step(
+    optimizer: optax.GradientTransformation,
+    width: int,
+    height: int,
+    config: RenderConfig,
+    lambda_dssim: float,
+):
+    """(state, dstate, camera, target, sh_degree) → (state, dstate, loss).
+
+    sh_degree is a static arg (one compile per unlocked band).
+    """
+
+    def loss_fn(params: GaussianModel, vs_aux, camera, target, sh_degree):
+        cloud = params.to_cloud(sh_degree)
+        splats = project_gaussians(cloud, camera, width, height, config)
+        splats = dataclasses.replace(splats, mean2d=splats.mean2d + vs_aux)
+        bins = bin_splats(splats, width, height, config)
+        rgb, alpha = rasterize_tiles(splats, bins, width, height, config)
+        bg = jnp.asarray(config.background, dtype=rgb.dtype)
+        img = rgb + (1.0 - alpha[..., None]) * bg
+        loss = photometric_loss(img, target, lambda_dssim)
+        return loss, splats.valid
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(4,))
+    def step(state: TrainState, dstate: DensifyState, camera: CameraParams,
+             target: jnp.ndarray, sh_degree: int):
+        vs_aux = jnp.zeros((state.params.num_gaussians, 2), jnp.float32)
+        (loss, visible), (g_params, g_vs) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(state.params, vs_aux, camera, target, sh_degree)
+
+        updates, opt_state = optimizer.update(
+            g_params, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        dstate = accumulate_stats(dstate, g_vs, visible)
+        return (
+            TrainState(params=params, opt_state=opt_state,
+                       step=state.step + 1),
+            dstate,
+            loss,
+        )
+
+    return step
+
+
+def train(
+    model: GaussianModel,
+    views: List[View],
+    width: int,
+    height: int,
+    render_config: RenderConfig = RenderConfig(),
+    loop: TrainLoopConfig = TrainLoopConfig(),
+    on_log: Optional[Callable[[int, float, int], None]] = None,
+):
+    """Run the full training loop. Returns (model, densify_state)."""
+    import numpy as np
+
+    extent = scene_extent(views)
+    capacity = int(model.num_gaussians * loop.capacity_factor)
+    params, dstate = pad_to_capacity(model, capacity)
+
+    optimizer = make_optimizer(scene_extent=extent)
+    state = TrainState(
+        params=params, opt_state=optimizer.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+    step_fn = make_densify_train_step(
+        optimizer, width, height, render_config, loop.lambda_dssim
+    )
+    densify_jit = jax.jit(lambda m, d, k: densify_and_prune(
+        m, d, k,
+        grad_threshold=loop.grad_threshold,
+        percent_dense=loop.percent_dense,
+        scene_extent=extent,
+        min_opacity=loop.min_opacity,
+    ))
+
+    key = jax.random.PRNGKey(loop.seed)
+    rng = np.random.default_rng(loop.seed)
+    targets = [jnp.asarray(v.image) for v in views]
+    max_sh = model.max_sh_degree
+    t0 = time.time()
+
+    for it in range(1, loop.iterations + 1):
+        sh_degree = min(it // loop.sh_upgrade_every, max_sh)
+        vi = int(rng.integers(len(views)))
+        state, dstate, loss = step_fn(
+            state, dstate, views[vi].camera, targets[vi], sh_degree
+        )
+
+        if (loop.densify_from <= it <= loop.densify_until
+                and it % loop.densify_every == 0):
+            key, sub = jax.random.split(key)
+            new_params, dstate = densify_jit(state.params, dstate, sub)
+            state = TrainState(
+                params=new_params,
+                opt_state=optimizer.init(new_params),
+                step=state.step,
+            )
+
+        if it % loop.opacity_reset_every == 0:
+            new_params = reset_opacity(state.params, dstate.alive)
+            state = TrainState(
+                params=new_params,
+                opt_state=optimizer.init(new_params),
+                step=state.step,
+            )
+
+        if it % loop.log_every == 0:
+            alive = int(jnp.sum(dstate.alive))
+            if on_log is not None:
+                on_log(it, float(loss), alive)
+            else:
+                print(
+                    f"iter {it:6d}  loss {float(loss):.4f}  "
+                    f"gaussians {alive}  sh {sh_degree}  "
+                    f"{(time.time()-t0)/it*1e3:.0f} ms/it",
+                    file=sys.stderr,
+                )
+
+    return state, dstate
