@@ -67,10 +67,11 @@ def run(
     from .ops.projection import project_gaussians
     from .ops.rasterize import render_impl
     from .ops.sort import bin_splats
-    from .utils.metrics import time_fn_device
+    from .utils.metrics import time_fn, time_fn_device
 
     config = RenderConfig(
-        max_dup=8, max_per_tile=1024, tile_chunk=32, depth_bits=19
+        max_dup=16, max_per_tile=1024, tile_chunk=32, depth_bits=19,
+        tier_split=4, big_frac=1.0 / 16,
     )
 
     _log(f"platform={jax.default_backend()} devices={jax.devices()}")
@@ -114,12 +115,14 @@ def run(
         img, _ = render_impl(perturbed(c), camera, width, height, config)
         return jnp.sum(img)
 
-    def bwd_body(c):
-        g = jax.grad(loss)(c * 1e-30)
-        return g * 1e-30
-
     try:
-        tb = time_fn_device(bwd_body, iters=4)
+        # single-program timing (device-loop wrapping would double the
+        # already-long remote compile); subtract the measured dispatch floor
+        grad_fn = jax.jit(jax.grad(loss))
+        tb = time_fn(grad_fn, jnp.float32(0.0), iters=6, warmup=2)
+        floor = time_fn(jax.jit(lambda x: x + 1.0), jnp.float32(0.0),
+                        iters=6, warmup=2)
+        tb = max(tb - floor, 1e-6)
         _log(f"forward+backward: {tb*1e3:.2f} ms → "
              f"{width*height/tb/1e6:.1f} Mpix/s")
         result["fwd_bwd_mpixps"] = round(width * height / tb / 1e6, 2)

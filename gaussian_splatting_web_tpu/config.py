@@ -32,6 +32,12 @@ class RenderConfig:
                                  # many depth bits below the tile id (~1.5x
                                  # faster binning; depth ties may reorder).
                                  # 0 = exact (tile, f32 depth) two-key sort.
+    tier_split: int = 0          # >0: two-tier duplication — every gaussian
+                                 # gets this many slots, footprints larger
+                                 # than it spill to a compact big tier with
+                                 # max_dup slots (shrinks the pair array
+                                 # ~2x for trained scenes). 0 = single tier.
+    big_frac: float = 1.0 / 16.0  # big-tier capacity as a fraction of N
 
     # --- EWA / splat constants (parity with the reference shader) --------
     lowpass: float = 0.3         # cov2d diagonal dilation  (simple_render.ts:295-296)

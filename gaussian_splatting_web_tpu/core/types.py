@@ -17,7 +17,6 @@ CPU at load time (src/ply.ts:333-335) and sigmoid in-shader
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

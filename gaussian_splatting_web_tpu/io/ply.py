@@ -37,7 +37,6 @@ Semantics reproduced from the reference:
 from __future__ import annotations
 
 import dataclasses
-import io as _io
 import os
 import re
 from typing import Callable, Dict, List, Optional, Tuple

@@ -26,7 +26,6 @@ Differences from the reference worth noting (all deliberate):
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

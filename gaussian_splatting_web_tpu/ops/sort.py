@@ -124,28 +124,78 @@ def bin_splats(
     d = config.max_dup
 
     x0, y0, rw, rh = _footprints(splats, width, height, config)
-    n_tiles_per_gauss = jnp.minimum(rw * rh, d)
-    overflow = jnp.sum((rw * rh > d).astype(jnp.int32))
-    num_pairs = jnp.sum(n_tiles_per_gauss)
+    ntg_full = rw * rh
 
-    # dense slot grid [N, D]: slot k → k-th tile of the footprint
-    slot = jnp.arange(d, dtype=jnp.int32)[None, :]
-    live = slot < n_tiles_per_gauss[:, None]
-    safe_rw = jnp.maximum(rw, 1)[:, None]
-    ty = y0[:, None] + slot // safe_rw
-    tx = x0[:, None] + slot % safe_rw
-    tile_id = jnp.where(live, ty * gx + tx, num_tiles)
-    gidx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, d))
+    def slot_tiles(x0, y0, rw, ntg, d):
+        """Dense slot grid: slot k → k-th tile of the footprint (row-major)."""
+        slot = jnp.arange(d, dtype=jnp.int32)[None, :]
+        live = slot < ntg[:, None]
+        safe_rw = jnp.maximum(rw, 1)[:, None]
+        ty = y0[:, None] + slot // safe_rw
+        tx = x0[:, None] + slot % safe_rw
+        tile = jnp.where(live, ty * gx + tx, num_tiles)
+        return tile, live
+
+    d_a = min(config.tier_split, d) if config.tier_split > 0 else d
+    if d_a < d:
+        # Two-tier duplication: most splats touch ≤ tier_split tiles (for
+        # trained scenes ~98% fit in 4), so a full N×max_dup grid is mostly
+        # sentinel padding that the sort, the field gather, and the backward
+        # segment-sum all pay for. Tier A gives every gaussian d_a slots;
+        # the few with bigger footprints are compacted (a small gather, not
+        # a scatter) into tier B with max_dup slots each.
+        big = ntg_full > d_a
+        n_big = jnp.sum(big.astype(jnp.int32))
+        nb_cap = max(min(int(n * config.big_frac), n), 256)
+
+        ntg_a = jnp.where(big, 0, jnp.minimum(ntg_full, d_a))
+        tile_a, live_a = slot_tiles(x0, y0, rw, ntg_a, d_a)
+        gidx_a = jnp.broadcast_to(
+            jnp.arange(n, dtype=jnp.int32)[:, None], (n, d_a)
+        )
+        depth_a = splats.depth
+
+        idx_b = jnp.nonzero(big, size=nb_cap, fill_value=0)[0]
+        valid_b = jnp.arange(nb_cap) < n_big
+        ntg_b = jnp.where(valid_b, jnp.minimum(ntg_full[idx_b], d), 0)
+        tile_b, live_b = slot_tiles(
+            x0[idx_b], y0[idx_b], rw[idx_b], ntg_b, d
+        )
+        gidx_b = jnp.broadcast_to(idx_b[:, None], (nb_cap, d))
+        depth_b = splats.depth[idx_b]
+
+        overflow = (
+            jnp.sum((ntg_full > d).astype(jnp.int32))
+            + jnp.maximum(n_big - nb_cap, 0)
+        )
+        num_pairs = jnp.sum(ntg_a) + jnp.sum(ntg_b)
+
+        tiers = [
+            (tile_a, live_a, gidx_a, depth_a),
+            (tile_b, live_b, gidx_b, depth_b),
+        ]
+    else:
+        ntg = jnp.minimum(ntg_full, d)
+        tile_id, live = slot_tiles(x0, y0, rw, ntg, d)
+        gidx = jnp.broadcast_to(
+            jnp.arange(n, dtype=jnp.int32)[:, None], (n, d)
+        )
+        overflow = jnp.sum((ntg_full > d).astype(jnp.int32))
+        num_pairs = jnp.sum(ntg)
+        tiers = [(tile_id, live, gidx, splats.depth)]
 
     tile_bits = max(int(num_tiles + 1).bit_length(), 1)
     depth_bits = min(config.depth_bits, 32 - tile_bits)
 
     if depth_bits > 0:
-        dkey = float_to_sortable_uint(splats.depth) >> (32 - depth_bits)
-        key = (tile_id.astype(jnp.uint32) << depth_bits) | dkey[:, None]
-        key = jnp.where(live, key, jnp.uint32(0xFFFFFFFF))
+        keys, gidxs = [], []
+        for tile_id, live, gidx, depth in tiers:
+            dkey = float_to_sortable_uint(depth) >> (32 - depth_bits)
+            key = (tile_id.astype(jnp.uint32) << depth_bits) | dkey[:, None]
+            keys.append(jnp.where(live, key, jnp.uint32(0xFFFFFFFF)).reshape(-1))
+            gidxs.append(gidx.reshape(-1))
         sorted_key, sorted_gidx = jax.lax.sort(
-            (key.reshape(-1), gidx.reshape(-1)), num_keys=1
+            (jnp.concatenate(keys), jnp.concatenate(gidxs)), num_keys=1
         )
         bounds = jnp.arange(num_tiles + 1, dtype=jnp.uint32) << depth_bits
         edges = jnp.searchsorted(sorted_key, bounds, side="left").astype(
@@ -154,14 +204,20 @@ def bin_splats(
         tile_start = edges[:-1]
         tile_count = edges[1:] - edges[:-1]
     else:
-        depth_k = jnp.broadcast_to(
-            splats.depth[:, None], (n, d)
-        ).astype(jnp.float32)
+        tiles_flat, depths_flat, gidx_flat = [], [], []
+        for tile_id, live, gidx, depth in tiers:
+            rows, dd = tile_id.shape
+            tiles_flat.append(tile_id.astype(jnp.int32).reshape(-1))
+            depths_flat.append(
+                jnp.broadcast_to(depth[:, None], (rows, dd))
+                .astype(jnp.float32).reshape(-1)
+            )
+            gidx_flat.append(gidx.reshape(-1))
         sorted_tile, _, sorted_gidx = jax.lax.sort(
             (
-                tile_id.astype(jnp.int32).reshape(-1),
-                depth_k.reshape(-1),
-                gidx.reshape(-1),
+                jnp.concatenate(tiles_flat),
+                jnp.concatenate(depths_flat),
+                jnp.concatenate(gidx_flat),
             ),
             num_keys=2,
         )

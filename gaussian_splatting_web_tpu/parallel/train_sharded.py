@@ -20,13 +20,13 @@ first, shard-gather ring exchange later).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import RenderConfig
 from ..core.types import CameraParams

@@ -16,7 +16,6 @@ from typing import Optional
 
 import jax
 
-from ..core.types import GaussianCloud
 from ..io.ply import read_ply, write_ply
 from ..models.gaussian_model import GaussianModel
 from .trainer import TrainState

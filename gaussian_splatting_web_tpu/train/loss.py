@@ -10,7 +10,6 @@ dimension XLA maps cleanly onto the VPU.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ realized with optax.multi_transform over the GaussianModel pytree.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Callable, Optional, Tuple
 
 import jax

@@ -193,3 +193,42 @@ def test_bin_splats_packed_matches_exact():
         assert set(seg_e) == set(seg_p)
         d = depth[seg_p]
         assert np.all(np.diff(d) >= -1e-3 * np.maximum(np.abs(d[:-1]), 1))
+
+
+def test_bin_splats_two_tier_matches_single_tier():
+    """tier_split>0 must produce the same per-tile segments (sets + depth
+    order) as the single-tier grid when capacities suffice."""
+    cloud, camera, w, h = _setup(n=120)
+    from gaussian_splatting_web_tpu.ops.projection import project_gaussians as pg
+    cfg1 = RenderConfig(max_dup=64, depth_bits=0)
+    cfg2 = RenderConfig(max_dup=64, depth_bits=0, tier_split=4, big_frac=1.0)
+    s = pg(cloud, camera, w, h, cfg1)
+    b1 = bin_splats(s, w, h, cfg1)
+    b2 = bin_splats(s, w, h, cfg2)
+    np.testing.assert_array_equal(np.asarray(b1.tile_count), np.asarray(b2.tile_count))
+    assert int(b1.num_pairs) == int(b2.num_pairs)
+    start, count = np.asarray(b1.tile_start), np.asarray(b1.tile_count)
+    s2_, c2_ = np.asarray(b2.tile_start), np.asarray(b2.tile_count)
+    g1, g2 = np.asarray(b1.sorted_gidx), np.asarray(b2.sorted_gidx)
+    depth = np.asarray(s.depth)
+    for t in range(len(start)):
+        seg1 = g1[start[t]:start[t]+count[t]]
+        seg2 = g2[s2_[t]:s2_[t]+c2_[t]]
+        assert set(seg1) == set(seg2), t
+        assert np.all(np.diff(depth[seg2]) >= 0), t
+
+
+def test_bin_splats_two_tier_big_overflow_counted():
+    cloud = make_random_cloud(4, seed=0)
+    cloud.xyz = np.zeros((4, 3), dtype=np.float32)
+    cloud.log_scale = np.full((4, 3), 0.5, dtype=np.float32)  # big splats
+    cloud.opacity_logit = np.full((4,), 5.0, dtype=np.float32)
+    w = h = 256
+    camera = cam.default_camera(w, h, eye=(0, 0, -4))
+    # big tier capacity 256 min covers all 4 → no big-cap overflow, but
+    # footprints may exceed max_dup
+    cfg = RenderConfig(max_dup=8, tier_split=2, big_frac=1.0 / 16)
+    s = project_gaussians(cloud, camera, w, h, cfg)
+    bins = bin_splats(s, w, h, cfg)
+    assert int(bins.overflow) >= 1  # footprint > max_dup counted
+    assert np.all(np.asarray(bins.tile_count) >= 0)
