@@ -67,11 +67,11 @@ def run(
     from .ops.projection import project_gaussians
     from .ops.rasterize import render_impl
     from .ops.sort import bin_splats
-    from .utils.metrics import time_fn, time_fn_device
+    from .utils.metrics import time_fn
 
     config = RenderConfig(
         max_dup=16, max_per_tile=1024, tile_chunk=32, depth_bits=19,
-        tier_split=4, big_frac=1.0 / 16,
+        tier_split=4, big_frac=1.0 / 16, gather_cap_factor=3.0,
     )
 
     _log(f"platform={jax.default_backend()} devices={jax.devices()}")
@@ -95,11 +95,17 @@ def run(
             cloud, opacity_logit=cloud.opacity_logit + c * 1e-30
         )
 
-    def fwd_body(c):
-        img, _ = render_impl(perturbed(c), camera, width, height, config)
-        return jnp.sum(img) * 1e-30
+    # single-program timings with the dispatch floor subtracted (the
+    # device-loop variant costs two multi-minute remote compiles per stage)
+    floor = time_fn(jax.jit(lambda x: x + 1.0), jnp.float32(0.0),
+                    iters=6, warmup=2)
 
-    t = time_fn_device(fwd_body)
+    fwd_fn = jax.jit(
+        lambda c: jnp.sum(
+            render_impl(perturbed(c), camera, width, height, config)[0]
+        )
+    )
+    t = max(time_fn(fwd_fn, jnp.float32(0.0), iters=8, warmup=2) - floor, 1e-6)
     mpixps = width * height / t / 1e6
     _log(f"forward: {t*1e3:.2f} ms → {mpixps:.1f} Mpix/s "
          f"({n} gaussians @{width}x{height})")
@@ -119,10 +125,8 @@ def run(
         # single-program timing (device-loop wrapping would double the
         # already-long remote compile); subtract the measured dispatch floor
         grad_fn = jax.jit(jax.grad(loss))
-        tb = time_fn(grad_fn, jnp.float32(0.0), iters=6, warmup=2)
-        floor = time_fn(jax.jit(lambda x: x + 1.0), jnp.float32(0.0),
-                        iters=6, warmup=2)
-        tb = max(tb - floor, 1e-6)
+        tb = max(time_fn(grad_fn, jnp.float32(0.0), iters=6, warmup=2) - floor,
+                 1e-6)
         _log(f"forward+backward: {tb*1e3:.2f} ms → "
              f"{width*height/tb/1e6:.1f} Mpix/s")
         result["fwd_bwd_mpixps"] = round(width * height / tb / 1e6, 2)
@@ -133,12 +137,16 @@ def run(
         lambda c, k: project_gaussians(c, k, width, height, config)
     )(cloud, camera)
 
-    def sort_body(c):
-        s2 = dataclasses.replace(splats, depth=splats.depth + c * 1e-30)
-        b = bin_splats(s2, width, height, config)
-        return jnp.sum(b.tile_count.astype(jnp.float32)) * 1e-30
-
-    ts = time_fn_device(sort_body)
+    sort_fn = jax.jit(
+        lambda c: jnp.sum(
+            bin_splats(
+                dataclasses.replace(splats, depth=splats.depth + c * 1e-30),
+                width, height, config,
+            ).tile_count.astype(jnp.float32)
+        )
+    )
+    ts = max(time_fn(sort_fn, jnp.float32(0.0), iters=8, warmup=2) - floor,
+             1e-6)
     _log(f"bin+sort: {ts*1e3:.2f} ms → {n/ts/1e6:.1f} M splats/s")
     result["sort_msplats_per_s"] = round(n / ts / 1e6, 2)
 

@@ -149,6 +149,34 @@ def cmd_train(args):
         save_train_state(state, args.checkpoint)
 
 
+def cmd_eval(args):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .io.dataset import load_dataset
+    from .ops.rasterize import render
+    from .train.loss import ssim
+
+    cloud = _load(args)
+    config = _config(args)
+    views = load_dataset(args.cameras, args.images, args.width, args.height,
+                         limit=args.limit or None)
+    psnrs, ssims = [], []
+    for v in views:
+        img, _ = render(cloud, v.camera, args.width, args.height, config)
+        img = np.clip(np.asarray(img), 0, 1)
+        mse = float(np.mean((img - v.image) ** 2))
+        psnrs.append(10 * np.log10(1.0 / max(mse, 1e-10)))
+        ssims.append(float(ssim(jnp.asarray(img), jnp.asarray(v.image))))
+        print(f"{v.name}: PSNR {psnrs[-1]:.2f} dB  SSIM {ssims[-1]:.4f}",
+              file=sys.stderr)
+    print(json.dumps({
+        "views": len(views),
+        "psnr_mean": float(np.mean(psnrs)),
+        "ssim_mean": float(np.mean(ssims)),
+    }))
+
+
 def cmd_serve(args):
     from .viewer.server import serve
 
@@ -196,6 +224,13 @@ def main(argv=None):
     sp.add_argument("--limit", type=int, default=0, help="max training views")
     sp.add_argument("--checkpoint", help="orbax checkpoint dir to save into")
     sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("eval", help="PSNR/SSIM against ground-truth images")
+    common(sp)
+    sp.add_argument("--cameras", required=True)
+    sp.add_argument("--images", required=True)
+    sp.add_argument("--limit", type=int, default=0)
+    sp.set_defaults(fn=cmd_eval)
 
     sp = sub.add_parser("serve", help="interactive web viewer")
     common(sp)

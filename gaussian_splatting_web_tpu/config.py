@@ -38,6 +38,9 @@ class RenderConfig:
                                  # max_dup slots (shrinks the pair array
                                  # ~2x for trained scenes). 0 = single tier.
     big_frac: float = 1.0 / 16.0  # big-tier capacity as a fraction of N
+    gather_cap_factor: float = 0.0  # >0: truncate the sorted pair array to
+                                 # this multiple of N (dead padding sorts
+                                 # last, so ≥ live-pair count is lossless)
 
     # --- EWA / splat constants (parity with the reference shader) --------
     lowpass: float = 0.3         # cov2d diagonal dilation  (simple_render.ts:295-296)
@@ -46,7 +49,9 @@ class RenderConfig:
     alpha_cutoff: float = 1.0 / 255.0  # discard threshold   (simple_render.ts:191-193)
     alpha_max: float = 0.99      # INRIA alpha clamp
     transmittance_eps: float = 1e-4  # early-termination threshold (INRIA)
-    radius_sigma: float = 3.0    # binning radius in standard deviations (INRIA)
+    radius_sigma: float = 0.0    # 0 = exact opacity-aware footprint radius
+                                 # (cutoff level set); >0 = fixed-σ INRIA
+                                 # heuristic (e.g. 3.0)
 
     # --- camera defaults --------------------------------------------------
     znear: float = 0.2           # camera.ts:484

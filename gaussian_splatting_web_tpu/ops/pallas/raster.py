@@ -13,10 +13,16 @@ profiling showed actually dominates on TPU — the padded per-tile gather:
   * the chunk loop runs ceil(count/KC) iterations and stops early once every
     pixel's transmittance is below the 1e-4 threshold (the reference's blend
     unit can never stop early, simple_render.ts:454-471);
-  * the transmittance recurrence is a lane-axis cumsum realized as one
-    [P, KC] × [KC, KC] upper-triangular matmul on the MXU (Mosaic has no
-    native cumsum); because log(1-α) ≤ 0 the cumulative log-transmittance is
-    monotone, so early-termination masking is a plain comparison.
+  * the FLOPs live on the MXU, not the VPU: the Gaussian quadratic
+    -½ dᵀΣ⁻¹d is a rank-6 bilinear form in the pixel coordinates, evaluated
+    as one [P,8]×[8,KC] matmul in tile-local coordinates (local coords keep
+    the cancelling terms O(splat extent), so f32 matmul error stays ~1e-5
+    where alpha matters); the transmittance recurrence is a lane-axis cumsum
+    realized as a [P,KC]×[KC,KC] upper-triangular matmul (Mosaic has no
+    native cumsum; log(1-α) ≤ 0 makes the cumulative log-transmittance
+    monotone, so early-termination masking is a plain comparison); and the
+    rgba accumulation is a [P,KC]×[KC,4] contraction. The VPU only sees the
+    three transcendentals (exp, log1p, exp) and a few masks.
 
 Layout: pixels in sublanes (P = 256 rows), splat chunk in lanes (KC = 128
 columns); per-splat scalars broadcast from [1, KC] slab rows.
@@ -72,13 +78,24 @@ def _kernel(
     base = (start // KC) * KC
     lead = start - base
     total = lead + count
-    n_chunks = pl.cdiv(total, KC)
+    n_chunks = jnp.where(count > 0, pl.cdiv(total, KC), 0)
 
     tx = (t % gx).astype(jnp.float32)
     ty = (t // gx).astype(jnp.float32)
+    # tile-LOCAL pixel coordinates: the Gaussian quadratic is evaluated as a
+    # rank-6 bilinear form on the MXU (see chunk_body); local coordinates
+    # keep every term O(splat extent), so the f32 matmul cancellation error
+    # stays ~1e-5 where alpha matters (global pixel coords would cancel
+    # O(focal²)-sized terms)
     pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-    px = tx * tile_size + (pix % tile_size).astype(jnp.float32)
-    py = ty * tile_size + (pix // tile_size).astype(jnp.float32)
+    px = (pix % tile_size).astype(jnp.float32)
+    py = (pix // tile_size).astype(jnp.float32)
+    ones_p = jnp.ones((p, 1), jnp.float32)
+    u_mat = jnp.concatenate(
+        [ones_p, px, py, px * px, py * py, px * py,
+         jnp.zeros((p, 2), jnp.float32)],
+        axis=1,
+    )                                   # [P, 8]
 
     # lane-axis inclusive cumsum as an MXU matmul (no native cumsum)
     tri = (
@@ -102,7 +119,7 @@ def _kernel(
     maxc = carr_ref.shape[1]
 
     def chunk_body(state):
-        c, carry, r_acc, g_acc, b_acc, a_acc = state
+        c, carry, acc4 = state
 
         # record start-of-chunk transmittance for the backward sweep;
         # single-lane stores need static offsets → switch over the (small,
@@ -121,19 +138,29 @@ def _kernel(
         dma(c % 2, c).wait()
         slab = slab_ref[c % 2]            # [F_PAD, KC]
 
-        mx = slab[0:1, :]
-        my = slab[1:2, :]
+        mx = slab[0:1, :] - tx * tile_size   # tile-local splat center
+        my = slab[1:2, :] - ty * tile_size
         ca = slab[2:3, :]
         cb = slab[3:4, :]
         cc = slab[4:5, :]
-        fr = slab[5:6, :]
-        fg = slab[6:7, :]
-        fb = slab[7:8, :]
         op = slab[8:9, :]
 
-        dx = px - mx                      # [P, KC]
-        dy = py - my
-        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        # Gaussian falloff as one MXU matmul: power(px,py) is quadratic in
+        # the pixel coordinates, so power = U[P,8] @ V[8,KC] with
+        # V = [-(½A mx²+B mx my+½C my²); A mx+B my; C my+B mx; -½A; -½C; -B]
+        v_mat = jnp.concatenate(
+            [
+                -(0.5 * ca * mx * mx + cb * mx * my + 0.5 * cc * my * my),
+                ca * mx + cb * my,
+                cc * my + cb * mx,
+                -0.5 * ca,
+                -0.5 * cc,
+                -cb,
+                jnp.zeros((2, KC), jnp.float32),
+            ],
+            axis=0,
+        )                                  # [8, KC]
+        power = jnp.dot(u_mat, v_mat, preferred_element_type=jnp.float32)
         power = jnp.minimum(power, 0.0)
         alpha = jnp.minimum(op * jnp.exp(power), alpha_max)
         alpha = jnp.where(alpha < alpha_cutoff, 0.0, alpha)
@@ -148,29 +175,35 @@ def _kernel(
         t_excl = jnp.exp(log_t_incl - log1m)
         w = jnp.where(log_t_incl < log_eps, 0.0, alpha * t_excl)
 
-        r_acc = r_acc + jnp.sum(w * fr, axis=1, keepdims=True)
-        g_acc = g_acc + jnp.sum(w * fg, axis=1, keepdims=True)
-        b_acc = b_acc + jnp.sum(w * fb, axis=1, keepdims=True)
-        a_acc = a_acc + jnp.sum(w, axis=1, keepdims=True)
+        # color/alpha accumulation as one [P,KC]x[KC→4] contraction (MXU):
+        # rows of F4 are (r, g, b, 1)
+        f4 = jnp.concatenate(
+            [slab[5:8, :], jnp.ones((1, KC), jnp.float32)], axis=0
+        )                                  # [4, KC]
+        acc4 = acc4 + jax.lax.dot_general(
+            w, f4, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                  # [P, 4]
         carry = carry + cum[:, KC - 1 : KC]
-        return c + 1, carry, r_acc, g_acc, b_acc, a_acc
+        return c + 1, carry, acc4
 
     def chunk_cond(state):
         c, carry, *_ = state
         return jnp.logical_and(c < n_chunks, jnp.max(carry) >= log_eps)
 
-    zeros = jnp.zeros((p, 1), jnp.float32)
-    init = (jnp.int32(0), zeros, zeros, zeros, zeros, zeros)
-    c_final, _, r_acc, g_acc, b_acc, a_acc = jax.lax.while_loop(
-        chunk_cond, chunk_body, init
+    init = (
+        jnp.int32(0),
+        jnp.zeros((p, 1), jnp.float32),
+        jnp.zeros((p, 4), jnp.float32),
     )
+    c_final, _, acc4 = jax.lax.while_loop(chunk_cond, chunk_body, init)
 
     # drain the in-flight prefetch if the loop exited early
     @pl.when(c_final < n_chunks)
     def _():
         dma(c_final % 2, c_final).wait()
 
-    out_ref[:, :] = jnp.concatenate([r_acc, g_acc, b_acc, a_acc], axis=1)
+    out_ref[:, :] = acc4
     # unprocessed chunks get a -inf-like sentinel (skipped by backward)
     lane_c = jax.lax.broadcasted_iota(jnp.int32, (p, maxc), 1)
     carr_ref[:, :] = jnp.where(lane_c < c_final, carr_ref[:, :], -1e30)

@@ -65,7 +65,7 @@ def _bwd_kernel(
     base = (start // KC) * KC
     lead = start - base
     total = lead + count
-    n_chunks = pl.cdiv(total, KC)
+    n_chunks = jnp.where(count > 0, pl.cdiv(total, KC), 0)
 
     # chunks whose starting transmittance is already below threshold were
     # never processed forward (carry sentinel -1e30) or contribute nothing
@@ -77,9 +77,17 @@ def _bwd_kernel(
 
     tx = (t % gx).astype(jnp.float32)
     ty = (t // gx).astype(jnp.float32)
+    # tile-local pixel coordinates (see forward kernel: the quadratic and
+    # its gradient moments run on the MXU; local coords bound cancellation)
     pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-    px = tx * tile_size + (pix % tile_size).astype(jnp.float32)
-    py = ty * tile_size + (pix // tile_size).astype(jnp.float32)
+    px = (pix % tile_size).astype(jnp.float32)
+    py = (pix // tile_size).astype(jnp.float32)
+    ones_p = jnp.ones((p, 1), jnp.float32)
+    u_mat = jnp.concatenate(
+        [ones_p, px, py, px * px, py * py, px * py,
+         jnp.zeros((p, 2), jnp.float32)],
+        axis=1,
+    )                                   # [P, 8]
 
     tri = (
         jax.lax.broadcasted_iota(jnp.int32, (KC, KC), 0)
@@ -91,10 +99,7 @@ def _bwd_kernel(
     ).astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, KC), 1)
 
-    g_r = cot_ref[:, 0:1]
-    g_g = cot_ref[:, 1:2]
-    g_b = cot_ref[:, 2:3]
-    g_a = cot_ref[:, 3:4]
+    cot4 = cot_ref[:, :]                # [P, 4] = (g_r, g_g, g_b, g_alpha)
 
     def slab_dma(slot, c):
         off = pl.multiple_of(base + c * KC, KC)
@@ -118,19 +123,27 @@ def _bwd_kernel(
         slab_dma(i % 2, c).wait()
         slab = slab_ref[i % 2]
 
-        mx = slab[0:1, :]
-        my = slab[1:2, :]
+        mx = slab[0:1, :] - tx * tile_size   # tile-local splat center
+        my = slab[1:2, :] - ty * tile_size
         ca = slab[2:3, :]
         cb = slab[3:4, :]
         cc = slab[4:5, :]
-        fr = slab[5:6, :]
-        fg = slab[6:7, :]
-        fb = slab[7:8, :]
         op = slab[8:9, :]
 
-        dx = px - mx
-        dy = py - my
-        raw_power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        # alpha recompute: same rank-6 bilinear form as the forward kernel
+        v_mat = jnp.concatenate(
+            [
+                -(0.5 * ca * mx * mx + cb * mx * my + 0.5 * cc * my * my),
+                ca * mx + cb * my,
+                cc * my + cb * mx,
+                -0.5 * ca,
+                -0.5 * cc,
+                -cb,
+                jnp.zeros((2, KC), jnp.float32),
+            ],
+            axis=0,
+        )
+        raw_power = jnp.dot(u_mat, v_mat, preferred_element_type=jnp.float32)
         power = jnp.minimum(raw_power, 0.0)
         e_pow = jnp.exp(power)
         a_pre = op * e_pow
@@ -153,7 +166,11 @@ def _bwd_kernel(
         t_excl = jnp.exp(log_t_incl - log1m)
         w = jnp.where(contrib, alpha * t_excl, 0.0)
 
-        r = g_r * fr + g_g * fg + g_b * fb + g_a          # [P, KC]
+        # r = g_rgb·c + g_alpha as one MXU contraction: cot4 @ (fr;fg;fb;1)
+        f4 = jnp.concatenate(
+            [slab[5:8, :], jnp.ones((1, KC), jnp.float32)], axis=0
+        )                                  # [4, KC]
+        r = jnp.dot(cot4, f4, preferred_element_type=jnp.float32)  # [P, KC]
         rw = r * w
         suffix = jnp.dot(rw, tri_strict_low,
                          preferred_element_type=jnp.float32)
@@ -166,18 +183,39 @@ def _bwd_kernel(
         )
         # chain through the alpha_max clamp and the 1/255 cutoff
         da_pre = jnp.where(a_pre > alpha_max, 0.0, dalpha)
+        dpow_u = da_pre * a_pre
         d_op = jnp.sum(da_pre * e_pow, axis=0, keepdims=True)
-        dpow = da_pre * a_pre
-        dpow = jnp.where(raw_power > 0.0, 0.0, dpow)
+        dpow = jnp.where(raw_power > 0.0, 0.0, dpow_u)
 
-        d_mx = jnp.sum(dpow * (ca * dx + cb * dy), axis=0, keepdims=True)
-        d_my = jnp.sum(dpow * (cc * dy + cb * dx), axis=0, keepdims=True)
-        d_ca = jnp.sum(dpow * (-0.5 * dx * dx), axis=0, keepdims=True)
-        d_cb = jnp.sum(dpow * (-dx * dy), axis=0, keepdims=True)
-        d_cc = jnp.sum(dpow * (-0.5 * dy * dy), axis=0, keepdims=True)
-        d_fr = jnp.sum(w * g_r, axis=0, keepdims=True)
-        d_fg = jnp.sum(w * g_g, axis=0, keepdims=True)
-        d_fb = jnp.sum(w * g_b, axis=0, keepdims=True)
+        # geometry gradients from pixel-coordinate moments of dpow (MXU):
+        # Mom = Uᵀ dpow → rows [Σdpow, Σdpow·px, Σdpow·py, Σdpow·px²,
+        #                       Σdpow·py², Σdpow·px·py]
+        mom = jax.lax.dot_general(
+            u_mat, dpow, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                  # [8, KC]
+        m0 = mom[0:1, :]
+        m1x = mom[1:2, :]
+        m1y = mom[2:3, :]
+        m2xx = mom[3:4, :]
+        m2yy = mom[4:5, :]
+        m2xy = mom[5:6, :]
+        c1x = m1x - mx * m0
+        c1y = m1y - my * m0
+        d_mx = ca * c1x + cb * c1y
+        d_my = cc * c1y + cb * c1x
+        d_ca = -0.5 * (m2xx - 2.0 * mx * m1x + mx * mx * m0)
+        d_cc = -0.5 * (m2yy - 2.0 * my * m1y + my * my * m0)
+        d_cb = -(m2xy - mx * m1y - my * m1x + mx * my * m0)
+
+        # color gradients: Σ_p w·g_c as cotᵀ w (MXU)
+        gmat = jax.lax.dot_general(
+            cot4, w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                  # [4, KC]; rows r,g,b,(alpha-unused)
+        d_fr = gmat[0:1, :]
+        d_fg = gmat[1:2, :]
+        d_fb = gmat[2:3, :]
 
         # read-add-write the pair-gradient block (sequential grid ⇒ safe)
         off = pl.multiple_of(base + c * KC, KC)

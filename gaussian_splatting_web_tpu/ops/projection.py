@@ -192,16 +192,28 @@ def project_gaussians(
     inv_det = 1.0 / safe_det
     conic = jnp.stack([c2d * inv_det, -b2d * inv_det, a2d * inv_det], axis=-1)
 
-    # conservative radius: 3σ of the major eigenvalue (INRIA), clamped like
-    # the reference clamps its quad axes (maxSize 4096, simple_render.ts:312)
-    mid = 0.5 * (a2d + c2d)
-    lam1 = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.1))
-    radius = jnp.ceil(config.radius_sigma * jnp.sqrt(lam1))
-    radius = jnp.minimum(radius, config.max_radius_px)
-
     # --- appearance ------------------------------------------------------
     rgb = eval_sh(cloud.sh.astype(f32), xyz, camera.cam_pos.astype(f32))
     opacity = jax.nn.sigmoid(cloud.opacity_logit.astype(f32))  # simple_render.ts:328
+
+    # Opacity-aware EXACT footprint radius: the compositor zeroes
+    # α = σ(o)·exp(-½ dᵀΣ⁻¹d) below alpha_cutoff (simple_render.ts:191-193),
+    # so the cutoff level-set ellipse bounds every contributing pixel —
+    # max extent √(2 λ₁ ln(opacity/cutoff)). For near-opaque splats this is
+    # slightly wider than the INRIA 3σ heuristic (exact where 3σ clips a
+    # visible tail) and far tighter for faint ones; splats with
+    # opacity ≤ cutoff are culled outright. radius_sigma > 0 restores the
+    # fixed-σ heuristic for INRIA-parity experiments.
+    mid = 0.5 * (a2d + c2d)
+    lam1 = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.1))
+    if config.radius_sigma > 0:
+        radius = jnp.ceil(config.radius_sigma * jnp.sqrt(lam1))
+    else:
+        log_ratio = jnp.log(
+            jnp.maximum(opacity, config.alpha_cutoff) / config.alpha_cutoff
+        )
+        radius = jnp.ceil(jnp.sqrt(2.0 * lam1 * log_ratio))
+    radius = jnp.minimum(radius, config.max_radius_px)
 
     # --- visibility ------------------------------------------------------
     on_screen = (

@@ -230,6 +230,23 @@ def bin_splats(
         ).astype(jnp.int32)
         tile_count = tile_end - tile_start
 
+    if config.gather_cap_factor > 0:
+        # Dead (sentinel-key) pairs sort to the end, so truncating the
+        # sorted pair array to cap = factor·N costs nothing while
+        # cap ≥ live pairs — and everything downstream (the sorted-field
+        # gather, backward pair-gradient array, segment-sum) shrinks with
+        # it. If a scene exceeds the cap, the farthest tiles lose their
+        # deepest splats (counted in overflow).
+        m_total = sorted_gidx.shape[0]
+        cap = min(m_total, int(n * config.gather_cap_factor))
+        sorted_gidx = sorted_gidx[:cap]
+        tile_count = jnp.minimum(
+            tile_count, jnp.maximum(cap - tile_start, 0)
+        )
+        tile_start = jnp.minimum(tile_start, cap)  # keep slab reads in bounds
+        overflow = overflow + jnp.maximum(num_pairs - cap, 0)
+        num_pairs = jnp.minimum(num_pairs, cap)
+
     return TileBins(
         sorted_gidx=sorted_gidx,
         tile_start=tile_start,

@@ -125,9 +125,17 @@ def render_reference(
     inv_det = 1.0 / np.where(det_ok, det, 1.0)
     conic = np.stack([c * inv_det, -b * inv_det, a * inv_det], axis=1)
 
+    opacity = 1.0 / (1.0 + np.exp(-np.asarray(cloud.opacity_logit, np.float64)))
+
     mid = 0.5 * (a + c)
     lam1 = mid + np.sqrt(np.maximum(mid * mid - det, 0.1))
-    radius = np.ceil(config.radius_sigma * np.sqrt(lam1))
+    if config.radius_sigma > 0:
+        radius = np.ceil(config.radius_sigma * np.sqrt(lam1))
+    else:
+        # exact opacity-aware footprint (see ops.projection)
+        log_ratio = np.log(np.maximum(opacity, config.alpha_cutoff)
+                           / config.alpha_cutoff)
+        radius = np.ceil(np.sqrt(2.0 * lam1 * log_ratio))
     radius = np.minimum(radius, config.max_radius_px)
 
     rgb = _sh_to_rgb(
@@ -135,8 +143,6 @@ def render_reference(
         (xyz - cam_pos) / np.maximum(
             np.linalg.norm(xyz - cam_pos, axis=1, keepdims=True), 1e-12),
     )
-    opacity = 1.0 / (1.0 + np.exp(-np.asarray(cloud.opacity_logit, np.float64)))
-
     on_screen = ((mean2d[:, 0] + radius >= 0) & (mean2d[:, 0] - radius < width)
                  & (mean2d[:, 1] + radius >= 0) & (mean2d[:, 1] - radius < height))
     valid = in_front & det_ok & (radius > 0) & on_screen

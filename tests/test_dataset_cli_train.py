@@ -76,3 +76,21 @@ def test_cli_train_smoke(tmp_path, capsys):
     assert out.exists()
     trained = read_ply(str(out))
     assert trained.num_gaussians >= 1
+
+
+def test_cli_eval(tmp_path, capsys):
+    from gaussian_splatting_web_tpu.cli import main
+
+    cloud, camfile, imgdir = _write_capture(tmp_path)
+    ply = tmp_path / "scene.ply"
+    write_ply(cloud, str(ply))
+    main([
+        "eval", "--ply", str(ply), "--cameras", camfile, "--images", imgdir,
+        "--width", str(W), "--height", str(H),
+        "--max-dup", "16", "--max-per-tile", "32", "--tile-chunk", "2",
+    ])
+    out = json.loads(capsys.readouterr().out)
+    # rendering the same scene the capture came from → near-perfect PSNR
+    assert out["views"] == 2
+    assert out["psnr_mean"] > 35, out
+    assert out["ssim_mean"] > 0.95, out

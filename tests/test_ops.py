@@ -232,3 +232,31 @@ def test_bin_splats_two_tier_big_overflow_counted():
     bins = bin_splats(s, w, h, cfg)
     assert int(bins.overflow) >= 1  # footprint > max_dup counted
     assert np.all(np.asarray(bins.tile_count) >= 0)
+
+
+def test_bin_splats_gather_cap_lossless_when_sufficient():
+    cloud, camera, w, h = _setup(n=80)
+    from gaussian_splatting_web_tpu.ops.projection import project_gaussians as pg
+    cfg0 = RenderConfig(max_dup=64, depth_bits=0)
+    cfg1 = RenderConfig(max_dup=64, depth_bits=0, gather_cap_factor=64.0)
+    s = pg(cloud, camera, w, h, cfg0)
+    b0 = bin_splats(s, w, h, cfg0)
+    b1 = bin_splats(s, w, h, cfg1)
+    np.testing.assert_array_equal(np.asarray(b0.tile_count), np.asarray(b1.tile_count))
+    m = int(b1.sorted_gidx.shape[0])
+    np.testing.assert_array_equal(
+        np.asarray(b0.sorted_gidx)[:m], np.asarray(b1.sorted_gidx)
+    )
+    assert int(b1.overflow) == int(b0.overflow)
+
+
+def test_bin_splats_gather_cap_truncates_gracefully():
+    cloud, camera, w, h = _setup(n=80)
+    from gaussian_splatting_web_tpu.ops.projection import project_gaussians as pg
+    cfg = RenderConfig(max_dup=64, gather_cap_factor=0.05)  # absurdly small
+    s = pg(cloud, camera, w, h, cfg)
+    b = bin_splats(s, w, h, cfg)
+    start, count = np.asarray(b.tile_start), np.asarray(b.tile_count)
+    m = int(b.sorted_gidx.shape[0])
+    assert np.all(start + count <= m)
+    assert int(b.overflow) > 0

@@ -30,8 +30,10 @@ def test_pallas_matches_xla(seed):
     s, b, w, h = _setup(seed=seed)
     rgb0, a0 = rasterize_tiles(s, b, w, h, CFG)
     rgb1, a1 = rasterize_tiles_pallas(s, b, w, h, CFG, True)
-    np.testing.assert_allclose(np.asarray(rgb1), np.asarray(rgb0), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(a1), np.asarray(a0), atol=1e-5)
+    # 5e-5: the kernel evaluates the Gaussian quadratic as a rank-6 bilinear
+    # form (different f32 association than the direct conic evaluation)
+    np.testing.assert_allclose(np.asarray(rgb1), np.asarray(rgb0), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a0), atol=5e-5)
 
 
 def test_pallas_early_termination_scene():
@@ -50,7 +52,7 @@ def test_pallas_early_termination_scene():
     b = bin_splats(s, w, h, CFG)
     rgb0, _ = rasterize_tiles(s, b, w, h, CFG)
     rgb1, _ = rasterize_tiles_pallas(s, b, w, h, CFG, True)
-    np.testing.assert_allclose(np.asarray(rgb1), np.asarray(rgb0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rgb1), np.asarray(rgb0), atol=5e-5)
 
 
 def test_pallas_grad_through_custom_vjp():
