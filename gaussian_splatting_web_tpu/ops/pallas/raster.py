@@ -50,6 +50,23 @@ KC = 128          # splat-chunk width (lanes)
 F_PAD = 16        # field rows, padded to a full sublane tile
 
 
+def _dot_bf16x2(x, m):
+    """x @ m in ~f32 precision using two bf16 MXU passes.
+
+    Mosaic lowers an f32 matmul to ~6 bf16 passes; splitting x into
+    hi + lo bf16 parts (m here is exact in bf16: 0/1 triangular masks)
+    costs 2 passes for ~2^-17 relative error — far below what the
+    compositor needs (errors only shift alpha weights ~1e-4).
+    """
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    mb = m.astype(jnp.bfloat16)
+    return (
+        jnp.dot(hi, mb, preferred_element_type=jnp.float32)
+        + jnp.dot(lo, mb, preferred_element_type=jnp.float32)
+    )
+
+
 def _kernel(
     starts_ref,            # SMEM [T] int32 (scalar prefetch)
     counts_ref,            # SMEM [T] int32 (scalar prefetch)
@@ -170,7 +187,7 @@ def _kernel(
         alpha = jnp.where(jnp.logical_and(g >= lead, g < total), alpha, 0.0)
 
         log1m = jnp.log1p(-alpha)
-        cum = jnp.dot(log1m, tri, preferred_element_type=jnp.float32)
+        cum = _dot_bf16x2(log1m, tri)
         log_t_incl = carry + cum          # monotone ↓ along lanes
         t_excl = jnp.exp(log_t_incl - log1m)
         w = jnp.where(log_t_incl < log_eps, 0.0, alpha * t_excl)

@@ -32,7 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...config import RenderConfig
-from .raster import F_PAD, KC
+from .raster import F_PAD, KC, _dot_bf16x2
 
 
 def _bwd_kernel(
@@ -45,8 +45,8 @@ def _bwd_kernel(
     dzero_hbm,             # ANY  [F_PAD, M_pad] f32 (zeros, aliased to out)
     dpairs_hbm,            # ANY  [F_PAD, M_pad] f32 out (aliased)
     slab_ref,              # VMEM scratch [2, F_PAD, KC]
-    rmw_ref,               # VMEM scratch [F_PAD, KC]
-    sem_ref,               # DMA semaphores (4,)
+    rmw_ref,               # VMEM scratch [2, F_PAD, KC]
+    sem_ref,               # DMA semaphores (6,): slab r/w ×2, rmw read ×2…
     *,
     gx: int,
     tile_size: int,
@@ -109,19 +109,44 @@ def _bwd_kernel(
             sem_ref.at[slot],
         )
 
+    def rmw_read_dma(slot, c):
+        off = pl.multiple_of(base + c * KC, KC)
+        return pltpu.make_async_copy(
+            dpairs_hbm.at[:, pl.ds(off, KC)],
+            rmw_ref.at[slot],
+            sem_ref.at[2 + slot],
+        )
+
+    def rmw_write_dma(slot, c):
+        off = pl.multiple_of(base + c * KC, KC)
+        return pltpu.make_async_copy(
+            rmw_ref.at[slot],
+            dpairs_hbm.at[:, pl.ds(off, KC)],
+            sem_ref.at[4 + slot],
+        )
+
     @pl.when(useful > 0)
     def _():
         slab_dma(0, useful - 1).start()
+        rmw_read_dma(0, useful - 1).start()
 
     def body(i, s_carry):
         c = useful - 1 - i
+        s = i % 2
 
         @pl.when(i + 1 < useful)
         def _():
             slab_dma((i + 1) % 2, c - 1).start()
+            # the slot's previous write (issued at i-1 from this same VMEM
+            # buffer) must land before the next read overwrites the buffer
+            @pl.when(i >= 1)
+            def _():
+                rmw_write_dma((i + 1) % 2, c + 1).wait()
 
-        slab_dma(i % 2, c).wait()
-        slab = slab_ref[i % 2]
+            rmw_read_dma((i + 1) % 2, c - 1).start()
+
+        slab_dma(s, c).wait()
+        slab = slab_ref[s]
 
         mx = slab[0:1, :] - tx * tile_size   # tile-local splat center
         my = slab[1:2, :] - ty * tile_size
@@ -155,7 +180,7 @@ def _bwd_kernel(
         alpha = jnp.where(dead, 0.0, alpha)
 
         log1m = jnp.log1p(-alpha)
-        cum = jnp.dot(log1m, tri, preferred_element_type=jnp.float32)
+        cum = _dot_bf16x2(log1m, tri)
         # single-lane reads need static offsets → switch over chunk index
         carry_c = jax.lax.switch(
             jnp.minimum(c, maxc - 1),
@@ -172,8 +197,7 @@ def _bwd_kernel(
         )                                  # [4, KC]
         r = jnp.dot(cot4, f4, preferred_element_type=jnp.float32)  # [P, KC]
         rw = r * w
-        suffix = jnp.dot(rw, tri_strict_low,
-                         preferred_element_type=jnp.float32)
+        suffix = _dot_bf16x2(rw, tri_strict_low)
         s_k = s_carry + suffix
 
         dalpha = jnp.where(
@@ -217,28 +241,34 @@ def _bwd_kernel(
         d_fg = gmat[1:2, :]
         d_fb = gmat[2:3, :]
 
-        # read-add-write the pair-gradient block (sequential grid ⇒ safe)
-        off = pl.multiple_of(base + c * KC, KC)
-        read = pltpu.make_async_copy(
-            dpairs_hbm.at[:, pl.ds(off, KC)], rmw_ref, sem_ref.at[2]
-        )
-        read.start()
-        read.wait()
+        # read-add-write the pair-gradient block. Pipelined: the read for
+        # this chunk was prefetched an iteration ago (after waiting out the
+        # slot's previous write); within a tile reads target strictly lower
+        # chunk offsets than any pending write, and grid steps are
+        # sequential, so cross-tile boundary blocks stay race-free — all
+        # writes drain before the kernel ends.
+        rmw_read_dma(s, c).wait()
         grads = jnp.concatenate(
             [d_mx, d_my, d_ca, d_cb, d_cc, d_fr, d_fg, d_fb, d_op,
              jnp.zeros((F_PAD - 9, KC), jnp.float32)],
             axis=0,
         )
-        rmw_ref[:, :] = rmw_ref[:, :] + grads
-        write = pltpu.make_async_copy(
-            rmw_ref, dpairs_hbm.at[:, pl.ds(off, KC)], sem_ref.at[3]
-        )
-        write.start()
-        write.wait()
+        rmw_ref[s] = rmw_ref[s] + grads
+        rmw_write_dma(s, c).start()
 
         return s_carry + jnp.sum(rw, axis=1, keepdims=True)
 
     jax.lax.fori_loop(0, useful, body, jnp.zeros((p, 1), jnp.float32))
+
+    # drain outstanding writes before the next (sequential) grid step may
+    # touch a shared boundary block
+    @pl.when(useful >= 1)
+    def _():
+        rmw_write_dma((useful - 1) % 2, 0).wait()
+
+    @pl.when(useful >= 2)
+    def _():
+        rmw_write_dma((useful - 2) % 2, 1).wait()
 
 
 def backward_pair_grads(
@@ -286,8 +316,8 @@ def backward_pair_grads(
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, F_PAD, KC), jnp.float32),
-            pltpu.VMEM((F_PAD, KC), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((2, F_PAD, KC), jnp.float32),
+            pltpu.SemaphoreType.DMA((6,)),
         ],
     )
     dzero = jnp.zeros((F_PAD, m_pad), jnp.float32)

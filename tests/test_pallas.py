@@ -32,8 +32,8 @@ def test_pallas_matches_xla(seed):
     rgb1, a1 = rasterize_tiles_pallas(s, b, w, h, CFG, True)
     # 5e-5: the kernel evaluates the Gaussian quadratic as a rank-6 bilinear
     # form (different f32 association than the direct conic evaluation)
-    np.testing.assert_allclose(np.asarray(rgb1), np.asarray(rgb0), atol=5e-5)
-    np.testing.assert_allclose(np.asarray(a1), np.asarray(a0), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(rgb1), np.asarray(rgb0), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a0), atol=2e-4)
 
 
 def test_pallas_early_termination_scene():
@@ -52,7 +52,7 @@ def test_pallas_early_termination_scene():
     b = bin_splats(s, w, h, CFG)
     rgb0, _ = rasterize_tiles(s, b, w, h, CFG)
     rgb1, _ = rasterize_tiles_pallas(s, b, w, h, CFG, True)
-    np.testing.assert_allclose(np.asarray(rgb1), np.asarray(rgb0), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(rgb1), np.asarray(rgb0), atol=2e-4)
 
 
 def test_pallas_grad_through_custom_vjp():
@@ -71,5 +71,5 @@ def test_pallas_grad_through_custom_vjp():
     for name in ("mean2d", "conic", "rgb", "opacity"):
         np.testing.assert_allclose(
             np.asarray(getattr(g1, name)), np.asarray(getattr(g0, name)),
-            atol=1e-4, err_msg=name,
+            atol=5e-4, err_msg=name,  # bf16x2 cumsum: ~1e-4 weight noise
         )
