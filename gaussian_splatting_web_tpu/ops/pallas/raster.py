@@ -53,10 +53,11 @@ F_PAD = 16        # field rows, padded to a full sublane tile
 def _dot_bf16x2(x, m):
     """x @ m in ~f32 precision using two bf16 MXU passes.
 
-    Mosaic lowers an f32 matmul to ~6 bf16 passes; splitting x into
-    hi + lo bf16 parts (m here is exact in bf16: 0/1 triangular masks)
-    costs 2 passes for ~2^-17 relative error — far below what the
-    compositor needs (errors only shift alpha weights ~1e-4).
+    This TPU stack compiles with --xla_allow_excess_precision=true, under
+    which a default-precision f32 matmul in Mosaic lowers to a SINGLE bf16
+    pass (measured 0.27 abs error) and precision='highest' costs ~6 passes.
+    Splitting x into hi + lo bf16 parts (m must be exact in bf16 — here 0/1
+    triangular masks) gives ~2^-17 relative error in 2 passes.
     """
     hi = x.astype(jnp.bfloat16)
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -65,6 +66,39 @@ def _dot_bf16x2(x, m):
         jnp.dot(hi, mb, preferred_element_type=jnp.float32)
         + jnp.dot(lo, mb, preferred_element_type=jnp.float32)
     )
+
+
+def _dot_exact_bf16x3(u, v):
+    """u @ v with u exactly bf16-representable (small integers): split v
+    into three bf16 components — 3 bf16 passes, ~2^-24 relative error
+    (v spans large magnitudes here, so two components are not enough)."""
+    ub = u.astype(jnp.bfloat16)
+    v1 = v.astype(jnp.bfloat16)
+    r1 = v - v1.astype(jnp.float32)
+    v2 = r1.astype(jnp.bfloat16)
+    v3 = (r1 - v2.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (
+        jnp.dot(ub, v1, preferred_element_type=jnp.float32)
+        + jnp.dot(ub, v2, preferred_element_type=jnp.float32)
+        + jnp.dot(ub, v3, preferred_element_type=jnp.float32)
+    )
+
+
+def _dot_general_bf16x3(x, y, dims):
+    """dot_general with both operands inexact: hi·hi + hi·lo + lo·hi
+    (the lo·lo term is ~2^-32 relative — dropped). 3 bf16 passes."""
+    import functools as _ft
+
+    hx = x.astype(jnp.bfloat16)
+    lx = (x - hx.astype(jnp.float32)).astype(jnp.bfloat16)
+    hy = y.astype(jnp.bfloat16)
+    ly = (y - hy.astype(jnp.float32)).astype(jnp.bfloat16)
+    dg = _ft.partial(
+        jax.lax.dot_general,
+        dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+    )
+    return dg(hx, hy) + dg(hx, ly) + dg(lx, hy)
 
 
 def _kernel(
@@ -177,7 +211,8 @@ def _kernel(
             ],
             axis=0,
         )                                  # [8, KC]
-        power = jnp.dot(u_mat, v_mat, preferred_element_type=jnp.float32)
+        # u_mat entries are small integers (exact in bf16) → 2-pass matmul
+        power = _dot_exact_bf16x3(u_mat, v_mat)
         power = jnp.minimum(power, 0.0)
         alpha = jnp.minimum(op * jnp.exp(power), alpha_max)
         alpha = jnp.where(alpha < alpha_cutoff, 0.0, alpha)
@@ -197,9 +232,8 @@ def _kernel(
         f4 = jnp.concatenate(
             [slab[5:8, :], jnp.ones((1, KC), jnp.float32)], axis=0
         )                                  # [4, KC]
-        acc4 = acc4 + jax.lax.dot_general(
-            w, f4, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        acc4 = acc4 + _dot_general_bf16x3(
+            w, f4, (((1,), (1,)), ((), ()))
         )                                  # [P, 4]
         carry = carry + cum[:, KC - 1 : KC]
         return c + 1, carry, acc4

@@ -32,7 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...config import RenderConfig
-from .raster import F_PAD, KC, _dot_bf16x2
+from .raster import F_PAD, KC, _dot_bf16x2, _dot_exact_bf16x3, _dot_general_bf16x3
 
 
 def _bwd_kernel(
@@ -128,7 +128,6 @@ def _bwd_kernel(
     @pl.when(useful > 0)
     def _():
         slab_dma(0, useful - 1).start()
-        rmw_read_dma(0, useful - 1).start()
 
     def body(i, s_carry):
         c = useful - 1 - i
@@ -137,13 +136,6 @@ def _bwd_kernel(
         @pl.when(i + 1 < useful)
         def _():
             slab_dma((i + 1) % 2, c - 1).start()
-            # the slot's previous write (issued at i-1 from this same VMEM
-            # buffer) must land before the next read overwrites the buffer
-            @pl.when(i >= 1)
-            def _():
-                rmw_write_dma((i + 1) % 2, c + 1).wait()
-
-            rmw_read_dma((i + 1) % 2, c - 1).start()
 
         slab_dma(s, c).wait()
         slab = slab_ref[s]
@@ -168,7 +160,7 @@ def _bwd_kernel(
             ],
             axis=0,
         )
-        raw_power = jnp.dot(u_mat, v_mat, preferred_element_type=jnp.float32)
+        raw_power = _dot_exact_bf16x3(u_mat, v_mat)
         power = jnp.minimum(raw_power, 0.0)
         e_pow = jnp.exp(power)
         a_pre = op * e_pow
@@ -195,7 +187,7 @@ def _bwd_kernel(
         f4 = jnp.concatenate(
             [slab[5:8, :], jnp.ones((1, KC), jnp.float32)], axis=0
         )                                  # [4, KC]
-        r = jnp.dot(cot4, f4, preferred_element_type=jnp.float32)  # [P, KC]
+        r = _dot_general_bf16x3(cot4, f4, (((1,), (0,)), ((), ())))  # [P, KC]
         rw = r * w
         suffix = _dot_bf16x2(rw, tri_strict_low)
         s_k = s_carry + suffix
@@ -214,9 +206,8 @@ def _bwd_kernel(
         # geometry gradients from pixel-coordinate moments of dpow (MXU):
         # Mom = Uᵀ dpow → rows [Σdpow, Σdpow·px, Σdpow·py, Σdpow·px²,
         #                       Σdpow·py², Σdpow·px·py]
-        mom = jax.lax.dot_general(
-            u_mat, dpow, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        mom = _dot_general_bf16x3(
+            u_mat, dpow, (((0,), (0,)), ((), ()))
         )                                  # [8, KC]
         m0 = mom[0:1, :]
         m1x = mom[1:2, :]
@@ -233,20 +224,17 @@ def _bwd_kernel(
         d_cb = -(m2xy - mx * m1y - my * m1x + mx * my * m0)
 
         # color gradients: Σ_p w·g_c as cotᵀ w (MXU)
-        gmat = jax.lax.dot_general(
-            cot4, w, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        gmat = _dot_general_bf16x3(
+            cot4, w, (((0,), (0,)), ((), ()))
         )                                  # [4, KC]; rows r,g,b,(alpha-unused)
         d_fr = gmat[0:1, :]
         d_fg = gmat[1:2, :]
         d_fb = gmat[2:3, :]
 
-        # read-add-write the pair-gradient block. Pipelined: the read for
-        # this chunk was prefetched an iteration ago (after waiting out the
-        # slot's previous write); within a tile reads target strictly lower
-        # chunk offsets than any pending write, and grid steps are
-        # sequential, so cross-tile boundary blocks stay race-free — all
-        # writes drain before the kernel ends.
+        # read-add-write the pair-gradient block, serialized (sequential
+        # grid steps make boundary-block RMW race-free; a pipelined variant
+        # measured no faster and miscompiled/raced on hardware)
+        rmw_read_dma(s, c).start()
         rmw_read_dma(s, c).wait()
         grads = jnp.concatenate(
             [d_mx, d_my, d_ca, d_cb, d_cc, d_fr, d_fg, d_fb, d_op,
@@ -255,20 +243,11 @@ def _bwd_kernel(
         )
         rmw_ref[s] = rmw_ref[s] + grads
         rmw_write_dma(s, c).start()
+        rmw_write_dma(s, c).wait()
 
         return s_carry + jnp.sum(rw, axis=1, keepdims=True)
 
     jax.lax.fori_loop(0, useful, body, jnp.zeros((p, 1), jnp.float32))
-
-    # drain outstanding writes before the next (sequential) grid step may
-    # touch a shared boundary block
-    @pl.when(useful >= 1)
-    def _():
-        rmw_write_dma((useful - 1) % 2, 0).wait()
-
-    @pl.when(useful >= 2)
-    def _():
-        rmw_write_dma((useful - 2) % 2, 1).wait()
 
 
 def backward_pair_grads(
