@@ -46,8 +46,12 @@ from ...config import RenderConfig
 from ..projection import ProjectedSplats
 from ..sort import TileBins
 
-KC = 128          # splat-chunk width (lanes)
-F_PAD = 16        # field rows, padded to a full sublane tile
+KC = 256          # splat-chunk width (lanes per slab DMA / matmul block);
+                  # measured on v5e at 1M splats/1080p: 256 → 24.2 ms vs
+                  # 31.4 ms at 128 (fewer chunk-loop fixed costs) and
+                  # 51 ms at 512 (the [KC,KC] cumsum matmul grows as KC²
+                  # per splat); results exact vs 128 to 8e-6
+F_PAD = 16        # gradient rows in the backward pair array (2 sublane tiles)
 
 
 def _dot_bf16x2(x, m):
@@ -105,11 +109,13 @@ def _kernel(
     starts_ref,            # SMEM [T] int32 (scalar prefetch)
     counts_ref,            # SMEM [T] int32 (scalar prefetch)
     tiles_ref,             # SMEM [G] int32 (scalar prefetch): grid→tile id
-    fields_hbm,            # ANY  [F_PAD, M_pad] f32 (field-major, sorted)
+    f8_hbm,                # ANY [8, M_pad] f32 (mx,my,ca,cb,cc,r,g,b; sorted)
+    f4_hbm,                # ANY [4, M_pad] f32 (opacity,0,0,0; sorted)
     out_ref,               # VMEM [P, 4] f32
     carr_ref,              # VMEM [P, MAXC] f32 out: start-of-chunk log T
-    slab_ref,              # VMEM scratch [2, F_PAD, KC]
-    sem_ref,               # DMA semaphores (2,)
+    slab8_ref,             # VMEM scratch [2, 8, KC]
+    slab4_ref,             # VMEM scratch [2, 4, KC]
+    sem_ref,               # DMA semaphores (2, 2)
     *,
     gx: int,
     tile_size: int,
@@ -155,17 +161,33 @@ def _kernel(
     ).astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, KC), 1)
 
-    def dma(slot, c):
+    def dma8(slot, c):
         off = pl.multiple_of(base + c * KC, KC)
         return pltpu.make_async_copy(
-            fields_hbm.at[:, pl.ds(off, KC)],
-            slab_ref.at[slot],
-            sem_ref.at[slot],
+            f8_hbm.at[:, pl.ds(off, KC)],
+            slab8_ref.at[slot],
+            sem_ref.at[slot, 0],
         )
+
+    def dma4(slot, c):
+        off = pl.multiple_of(base + c * KC, KC)
+        return pltpu.make_async_copy(
+            f4_hbm.at[:, pl.ds(off, KC)],
+            slab4_ref.at[slot],
+            sem_ref.at[slot, 1],
+        )
+
+    def dma_start(slot, c):
+        dma8(slot, c).start()
+        dma4(slot, c).start()
+
+    def dma_wait(slot, c):
+        dma8(slot, c).wait()
+        dma4(slot, c).wait()
 
     @pl.when(n_chunks > 0)
     def _():
-        dma(0, 0).start()
+        dma_start(0, 0)
 
     maxc = carr_ref.shape[1]
 
@@ -184,17 +206,17 @@ def _kernel(
 
         @pl.when(c + 1 < n_chunks)
         def _():
-            dma((c + 1) % 2, c + 1).start()
+            dma_start((c + 1) % 2, c + 1)
 
-        dma(c % 2, c).wait()
-        slab = slab_ref[c % 2]            # [F_PAD, KC]
+        dma_wait(c % 2, c)
+        slab = slab8_ref[c % 2]           # [8, KC]
 
         mx = slab[0:1, :] - tx * tile_size   # tile-local splat center
         my = slab[1:2, :] - ty * tile_size
         ca = slab[2:3, :]
         cb = slab[3:4, :]
         cc = slab[4:5, :]
-        op = slab[8:9, :]
+        op = slab4_ref[c % 2][0:1, :]
 
         # Gaussian falloff as one MXU matmul: power(px,py) is quadratic in
         # the pixel coordinates, so power = U[P,8] @ V[8,KC] with
@@ -252,7 +274,7 @@ def _kernel(
     # drain the in-flight prefetch if the loop exited early
     @pl.when(c_final < n_chunks)
     def _():
-        dma(c_final % 2, c_final).wait()
+        dma_wait(c_final % 2, c_final)
 
     out_ref[:, :] = acc4
     # unprocessed chunks get a -inf-like sentinel (skipped by backward)
@@ -262,12 +284,13 @@ def _kernel(
 
 def _sorted_fields_t(
     splats: ProjectedSplats, bins: TileBins, k_cap: int
-) -> jnp.ndarray:
-    """[F_PAD, M + pad] field-major sorted splat array for slab DMA."""
-    from ..rasterize import pack_sorted_fields
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """([8, M+pad], [4, M+pad]) field-major sorted splat arrays for slab DMA
+    (split-row gather: see rasterize.pack_sorted_fields_split)."""
+    from ..rasterize import pack_sorted_fields_split
 
-    fields = pack_sorted_fields(splats, bins, pad=k_cap + KC)  # [M+pad, 16]
-    return fields.T
+    f8, f4 = pack_sorted_fields_split(splats, bins, pad=k_cap + KC)
+    return f8.T, f4.T
 
 
 def k_cap_for(config: RenderConfig) -> int:
@@ -314,6 +337,7 @@ def composite_tiles_pallas(
         grid=(grid_n,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec((None, p, 4), lambda g, starts, counts, tiles: (g, 0, 0)),
@@ -321,8 +345,9 @@ def composite_tiles_pallas(
                          lambda g, starts, counts, tiles: (g, 0, 0)),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, F_PAD, KC), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 8, KC), jnp.float32),
+            pltpu.VMEM((2, 4, KC), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     out, carries = pl.pallas_call(
@@ -334,7 +359,7 @@ def composite_tiles_pallas(
         ),
         interpret=interpret,
     )(bins.tile_start, jnp.minimum(bins.tile_count, k_cap).astype(jnp.int32),
-      tile_ids.astype(jnp.int32), fields_t)
+      tile_ids.astype(jnp.int32), fields_t[0], fields_t[1])
     return out, carries, fields_t
 
 
@@ -383,6 +408,52 @@ def _cot_to_tiles(cotangent, width, height, config):
     return cot.reshape(gx * gy, ts * ts, 4)
 
 
+def _fold_pair_grads(dpairs: jnp.ndarray, bins: TileBins, n: int) -> jnp.ndarray:
+    """Fold the (tile,depth)-sorted pair gradients [F_PAD, M_pad] onto
+    splats → [N, 9] (d_mean2d ×2, d_conic ×3, d_rgb ×3, d_opacity).
+
+    A scatter-add `segment_sum` over 3M unsorted gaussian ids measured
+    242 ms on v5e — the worst op in the whole backward. Instead we invert
+    the binning sort: `bins.sorted_slot` is the full position→slot
+    permutation, so one u32 sort of (slot, position) yields the dense
+    slot→position map, and per-slot gradients land in the original dense
+    [N, dₐ] / [nb_cap, d] slot grids via plain row gathers — the reduction
+    onto splats becomes a static reshape-sum (tier A) plus a tiny
+    segment-sum over the nb_cap compacted big splats (tier B). Dead or
+    cap-truncated slots point at a guaranteed-zero padding row.
+    """
+    m = bins.sorted_gidx.shape[0]          # cap (truncated pair count)
+    m_pad = dpairs.shape[1]
+    n_slots = bins.sorted_slot.shape[0]
+    d_a = bins.tier_a_width
+    d_b = bins.tier_b_width
+    zero_row = m_pad - 1                   # beyond any kernel RMW block
+    assert zero_row >= m + KC, "dpairs padding must cover RMW overhang"
+
+    pos = jnp.arange(n_slots, dtype=jnp.int32)
+    _, pos_of_slot = jax.lax.sort(
+        (bins.sorted_slot.astype(jnp.uint32), pos), num_keys=1
+    )
+    pos_of_slot = jnp.minimum(pos_of_slot, zero_row)
+
+    rows8 = dpairs[:8].T                   # [M_pad, 8] first 8 gradient rows
+    rows_op = dpairs[8:12].T               # [M_pad, 4] (d_op in lane 0)
+
+    pos_a = pos_of_slot[: n * d_a]
+    g8 = rows8[pos_a].reshape(n, d_a, 8).sum(axis=1)          # [N, 8]
+    gop = rows_op[pos_a][:, 0].reshape(n, d_a).sum(axis=1)    # [N]
+    seg = jnp.concatenate([g8, gop[:, None]], axis=1)         # [N, 9]
+
+    if d_b > 0:
+        nb = bins.idx_b.shape[0]
+        pos_b = pos_of_slot[n * d_a:]
+        b8 = rows8[pos_b].reshape(nb, d_b, 8).sum(axis=1)
+        bop = rows_op[pos_b][:, 0].reshape(nb, d_b).sum(axis=1)
+        seg_b = jnp.concatenate([b8, bop[:, None]], axis=1)
+        seg = seg + jax.ops.segment_sum(seg_b, bins.idx_b, num_segments=n)
+    return seg
+
+
 def _bwd(width, height, config, interpret, residuals, cotangent):
     import numpy as np
 
@@ -390,15 +461,13 @@ def _bwd(width, height, config, interpret, residuals, cotangent):
 
     splats, bins, carries, fields_t = residuals
     n = splats.depth.shape[0]
-    m = bins.sorted_gidx.shape[0]
 
     cot_tiles = _cot_to_tiles(cotangent, width, height, config)
     dpairs = backward_pair_grads(
         fields_t, carries, cot_tiles, bins.tile_start, bins.tile_count,
         width, height, config, interpret=interpret,
     )
-    rows = dpairs[:9, :m].T                                   # [M, 9]
-    seg = jax.ops.segment_sum(rows, bins.sorted_gidx, num_segments=n)
+    seg = _fold_pair_grads(dpairs, bins, n)
 
     f0 = np.zeros((), jax.dtypes.float0)
 

@@ -39,14 +39,16 @@ def _bwd_kernel(
     starts_ref,            # SMEM [T] int32
     counts_ref,            # SMEM [T] int32
     tiles_ref,             # SMEM [G] int32: grid→tile id
-    fields_hbm,            # ANY  [F_PAD, M_pad] f32
+    f8_hbm,                # ANY [8, M_pad] f32 (mx,my,ca,cb,cc,r,g,b)
+    f4_hbm,                # ANY [4, M_pad] f32 (opacity,0,0,0)
     carries_ref,           # VMEM [P, MAXC] f32 (start-of-chunk log T)
     cot_ref,               # VMEM [P, 4] f32 (g_r, g_g, g_b, g_alpha)
     dzero_hbm,             # ANY  [F_PAD, M_pad] f32 (zeros, aliased to out)
     dpairs_hbm,            # ANY  [F_PAD, M_pad] f32 out (aliased)
-    slab_ref,              # VMEM scratch [2, F_PAD, KC]
+    slab8_ref,             # VMEM scratch [2, 8, KC]
+    slab4_ref,             # VMEM scratch [2, 4, KC]
     rmw_ref,               # VMEM scratch [2, F_PAD, KC]
-    sem_ref,               # DMA semaphores (6,): slab r/w ×2, rmw read ×2…
+    sem_ref,               # DMA semaphores (2,2) slab + (4,) rmw r/w
     *,
     gx: int,
     tile_size: int,
@@ -101,20 +103,36 @@ def _bwd_kernel(
 
     cot4 = cot_ref[:, :]                # [P, 4] = (g_r, g_g, g_b, g_alpha)
 
-    def slab_dma(slot, c):
+    def slab8_dma(slot, c):
         off = pl.multiple_of(base + c * KC, KC)
         return pltpu.make_async_copy(
-            fields_hbm.at[:, pl.ds(off, KC)],
-            slab_ref.at[slot],
-            sem_ref.at[slot],
+            f8_hbm.at[:, pl.ds(off, KC)],
+            slab8_ref.at[slot],
+            sem_ref.at[0, slot],
         )
+
+    def slab4_dma(slot, c):
+        off = pl.multiple_of(base + c * KC, KC)
+        return pltpu.make_async_copy(
+            f4_hbm.at[:, pl.ds(off, KC)],
+            slab4_ref.at[slot],
+            sem_ref.at[1, slot],
+        )
+
+    def slab_start(slot, c):
+        slab8_dma(slot, c).start()
+        slab4_dma(slot, c).start()
+
+    def slab_wait(slot, c):
+        slab8_dma(slot, c).wait()
+        slab4_dma(slot, c).wait()
 
     def rmw_read_dma(slot, c):
         off = pl.multiple_of(base + c * KC, KC)
         return pltpu.make_async_copy(
             dpairs_hbm.at[:, pl.ds(off, KC)],
             rmw_ref.at[slot],
-            sem_ref.at[2 + slot],
+            sem_ref.at[2, slot],
         )
 
     def rmw_write_dma(slot, c):
@@ -122,12 +140,12 @@ def _bwd_kernel(
         return pltpu.make_async_copy(
             rmw_ref.at[slot],
             dpairs_hbm.at[:, pl.ds(off, KC)],
-            sem_ref.at[4 + slot],
+            sem_ref.at[3, slot],
         )
 
     @pl.when(useful > 0)
     def _():
-        slab_dma(0, useful - 1).start()
+        slab_start(0, useful - 1)
 
     def body(i, s_carry):
         c = useful - 1 - i
@@ -135,17 +153,17 @@ def _bwd_kernel(
 
         @pl.when(i + 1 < useful)
         def _():
-            slab_dma((i + 1) % 2, c - 1).start()
+            slab_start((i + 1) % 2, c - 1)
 
-        slab_dma(s, c).wait()
-        slab = slab_ref[s]
+        slab_wait(s, c)
+        slab = slab8_ref[s]
 
         mx = slab[0:1, :] - tx * tile_size   # tile-local splat center
         my = slab[1:2, :] - ty * tile_size
         ca = slab[2:3, :]
         cb = slab[3:4, :]
         cc = slab[4:5, :]
-        op = slab[8:9, :]
+        op = slab4_ref[s][0:1, :]
 
         # alpha recompute: same rank-6 bilinear form as the forward kernel
         v_mat = jnp.concatenate(
@@ -251,7 +269,7 @@ def _bwd_kernel(
 
 
 def backward_pair_grads(
-    fields_t: jnp.ndarray,        # [F_PAD, M_pad] from _sorted_fields_t
+    fields_t,                     # ([8, M_pad], [4, M_pad]) from _sorted_fields_t
     carries: jnp.ndarray,         # [G, P, MAXC] forward carries
     cot_tiles: jnp.ndarray,       # [G, P, 4] cotangents per tile pixel
     tile_start: jnp.ndarray,
@@ -263,6 +281,7 @@ def backward_pair_grads(
     tile_ids: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Run the backward kernel → pair gradients [F_PAD, M_pad]."""
+    f8_t, f4_t = fields_t
     ts = config.tile_size
     gx, gy = config.grid_size(width, height)
     num_tiles = gx * gy
@@ -272,7 +291,7 @@ def backward_pair_grads(
     p = ts * ts
     k_cap = max(KC, ((config.max_per_tile + KC - 1) // KC) * KC)
     maxc = carries.shape[-1]
-    m_pad = fields_t.shape[1]
+    m_pad = f8_t.shape[1]
 
     kernel = functools.partial(
         _bwd_kernel,
@@ -287,16 +306,18 @@ def backward_pair_grads(
         num_scalar_prefetch=3,
         grid=(grid_n,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),                         # fields
+            pl.BlockSpec(memory_space=pl.ANY),                         # f8
+            pl.BlockSpec(memory_space=pl.ANY),                         # f4
             pl.BlockSpec((None, p, maxc), lambda g, s, c, t: (g, 0, 0)),  # carries
             pl.BlockSpec((None, p, 4), lambda g, s, c, t: (g, 0, 0)),     # cot
             pl.BlockSpec(memory_space=pl.ANY),                         # dzero
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
+            pltpu.VMEM((2, 8, KC), jnp.float32),
+            pltpu.VMEM((2, 4, KC), jnp.float32),
             pltpu.VMEM((2, F_PAD, KC), jnp.float32),
-            pltpu.VMEM((2, F_PAD, KC), jnp.float32),
-            pltpu.SemaphoreType.DMA((6,)),
+            pltpu.SemaphoreType.DMA((4, 2)),
         ],
     )
     dzero = jnp.zeros((F_PAD, m_pad), jnp.float32)
@@ -304,14 +325,15 @@ def backward_pair_grads(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((F_PAD, m_pad), jnp.float32),
-        input_output_aliases={6: 0},  # flat input index incl. scalar prefetch
+        input_output_aliases={7: 0},  # flat input index incl. scalar prefetch
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(
         tile_start,
         jnp.minimum(tile_count, k_cap).astype(jnp.int32),
         tile_ids.astype(jnp.int32),
-        fields_t,
+        f8_t,
+        f4_t,
         carries,
         cot_tiles,
         dzero,

@@ -78,6 +78,41 @@ def pack_sorted_fields(
     )
 
 
+def pack_sorted_fields_split(
+    splats: ProjectedSplats, bins: TileBins, pad: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather splat fields into pair order as TWO narrow row arrays:
+    [M+pad, 8] = (mx, my, conic_a, conic_b, conic_c, r, g, b) and
+    [M+pad, 4] = (opacity, 0, 0, 0).
+
+    Row-gather cost on v5e is strongly super-linear in row width (measured
+    14.9 ns/row at 64 B vs 5.6 ns/row at 32 B at 3M rows), so one 64-byte
+    gather loses to an aligned 32-byte + 16-byte pair by ~40%. The Pallas
+    compositor streams the two arrays with two DMAs per chunk.
+    """
+    z = jnp.zeros_like(splats.opacity)
+    p8 = jnp.stack(
+        [
+            splats.mean2d[:, 0],
+            splats.mean2d[:, 1],
+            splats.conic[:, 0],
+            splats.conic[:, 1],
+            splats.conic[:, 2],
+            splats.rgb[:, 0],
+            splats.rgb[:, 1],
+            splats.rgb[:, 2],
+        ],
+        axis=-1,
+    )
+    p4 = jnp.stack([splats.opacity, z, z, z], axis=-1)
+    s8 = p8[bins.sorted_gidx]
+    s4 = p4[bins.sorted_gidx]
+    return (
+        jnp.concatenate([s8, jnp.zeros((pad, 8), s8.dtype)]),
+        jnp.concatenate([s4, jnp.zeros((pad, 4), s4.dtype)]),
+    )
+
+
 def _composite_chunk(
     tile_ids: jnp.ndarray,          # [C] int32
     sorted_fields: jnp.ndarray,     # [M + K, 9] (pack_sorted_fields)

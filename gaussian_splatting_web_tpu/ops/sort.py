@@ -41,6 +41,15 @@ class TileBins:
     tile_count:   [T] segment length per tile.
     num_pairs:    [] total live pairs (observability).
     overflow:     [] gaussians whose tile footprint was truncated at max_dup.
+    sorted_slot:  [n_slots] FULL sort permutation: position → originating
+                  slot id (tier A slot g·dₐ+k, tier B slot n·dₐ + j·d + k).
+                  Untruncated so the backward can invert it with a second
+                  sort and fold pair gradients onto splats with dense
+                  reshape-sums instead of a scatter-add segment-sum
+                  (measured 6x faster at 3M pairs on v5e).
+    idx_b:        [nb_cap] tier-B row → gaussian index ([0] if single-tier).
+    tier_a_width: static dₐ (slots per gaussian in tier A).
+    tier_b_width: static d for tier B rows (0 = single tier).
     """
 
     sorted_gidx: jax.Array
@@ -48,12 +57,17 @@ class TileBins:
     tile_count: jax.Array
     num_pairs: jax.Array
     overflow: jax.Array
+    sorted_slot: jax.Array
+    idx_b: jax.Array
+    tier_a_width: int = 0
+    tier_b_width: int = 0
 
 
 jax.tree_util.register_dataclass(
     TileBins,
-    data_fields=["sorted_gidx", "tile_start", "tile_count", "num_pairs", "overflow"],
-    meta_fields=[],
+    data_fields=["sorted_gidx", "tile_start", "tile_count", "num_pairs",
+                 "overflow", "sorted_slot", "idx_b"],
+    meta_fields=["tier_a_width", "tier_b_width"],
 )
 
 
@@ -155,7 +169,7 @@ def bin_splats(
         )
         depth_a = splats.depth
 
-        idx_b = jnp.nonzero(big, size=nb_cap, fill_value=0)[0]
+        idx_b = jnp.nonzero(big, size=nb_cap, fill_value=0)[0].astype(jnp.int32)
         valid_b = jnp.arange(nb_cap) < n_big
         ntg_b = jnp.where(valid_b, jnp.minimum(ntg_full[idx_b], d), 0)
         tile_b, live_b = slot_tiles(
@@ -174,6 +188,7 @@ def bin_splats(
             (tile_a, live_a, gidx_a, depth_a),
             (tile_b, live_b, gidx_b, depth_b),
         ]
+        tier_a_width, tier_b_width = d_a, d
     else:
         ntg = jnp.minimum(ntg_full, d)
         tile_id, live = slot_tiles(x0, y0, rw, ntg, d)
@@ -183,6 +198,8 @@ def bin_splats(
         overflow = jnp.sum((ntg_full > d).astype(jnp.int32))
         num_pairs = jnp.sum(ntg)
         tiers = [(tile_id, live, gidx, splats.depth)]
+        tier_a_width, tier_b_width = d, 0
+        idx_b = jnp.zeros((0,), jnp.int32)
 
     tile_bits = max(int(num_tiles + 1).bit_length(), 1)
     depth_bits = min(config.depth_bits, 32 - tile_bits)
@@ -194,8 +211,12 @@ def bin_splats(
             key = (tile_id.astype(jnp.uint32) << depth_bits) | dkey[:, None]
             keys.append(jnp.where(live, key, jnp.uint32(0xFFFFFFFF)).reshape(-1))
             gidxs.append(gidx.reshape(-1))
-        sorted_key, sorted_gidx = jax.lax.sort(
-            (jnp.concatenate(keys), jnp.concatenate(gidxs)), num_keys=1
+        keys = jnp.concatenate(keys)
+        # slot payload: the concatenated flat index IS the slot id (tier A
+        # row-major [n, dₐ], then tier B [nb_cap, d])
+        slot_iota = jnp.arange(keys.shape[0], dtype=jnp.int32)
+        sorted_key, sorted_gidx, sorted_slot = jax.lax.sort(
+            (keys, jnp.concatenate(gidxs), slot_iota), num_keys=1
         )
         bounds = jnp.arange(num_tiles + 1, dtype=jnp.uint32) << depth_bits
         edges = jnp.searchsorted(sorted_key, bounds, side="left").astype(
@@ -213,11 +234,14 @@ def bin_splats(
                 .astype(jnp.float32).reshape(-1)
             )
             gidx_flat.append(gidx.reshape(-1))
-        sorted_tile, _, sorted_gidx = jax.lax.sort(
+        tiles_cat = jnp.concatenate(tiles_flat)
+        slot_iota = jnp.arange(tiles_cat.shape[0], dtype=jnp.int32)
+        sorted_tile, _, sorted_gidx, sorted_slot = jax.lax.sort(
             (
-                jnp.concatenate(tiles_flat),
+                tiles_cat,
                 jnp.concatenate(depths_flat),
                 jnp.concatenate(gidx_flat),
+                slot_iota,
             ),
             num_keys=2,
         )
@@ -253,4 +277,8 @@ def bin_splats(
         tile_count=tile_count,
         num_pairs=num_pairs,
         overflow=overflow,
+        sorted_slot=sorted_slot,
+        idx_b=idx_b,
+        tier_a_width=tier_a_width,
+        tier_b_width=tier_b_width,
     )
