@@ -95,20 +95,77 @@ def depth_sort_indices(depth: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     return jnp.argsort(key)
 
 
+TAU_SLACK = 1e-3  # conservative slack on the cutoff level-set threshold:
+                  # the compositor evaluates the quadratic with different
+                  # rounding (MXU bilinear form) than the culling test, so
+                  # borderline q ≈ τ pixels must never be culled
+
+
+def _cutoff_tau(opacity: jnp.ndarray, config: RenderConfig) -> jnp.ndarray:
+    """Level-set threshold τ: alpha ≥ cutoff ⟺ ½ dᵀΣ⁻¹d ≤ τ (matches the
+    opacity-aware radius in ops.projection)."""
+    return jnp.log(
+        jnp.maximum(opacity, config.alpha_cutoff) / config.alpha_cutoff
+    )
+
+
 def _footprints(splats: ProjectedSplats, width: int, height: int,
                 config: RenderConfig):
-    """Per-gaussian tile rects (INRIA getRect semantics)."""
+    """Per-gaussian tile rects (INRIA getRect semantics, tightened).
+
+    In the exact-footprint mode (radius_sigma == 0) the rect uses PER-AXIS
+    extents of the cutoff level-set ellipse, rx = √(2τΣxx), ry = √(2τΣyy)
+    (Σxx = C/det Σ⁻¹ etc.) instead of the INRIA circular bound r = √(2τλ₁):
+    an anisotropic splat's bounding box shrinks by up to λ₁/λ₂ in one axis,
+    which directly cuts (tile, splat) pair count. Output-exact: pixels
+    outside the level set have alpha < cutoff and composite to zero."""
     ts = config.tile_size
     gx, gy = config.grid_size(width, height)
     mean = jnp.where(splats.valid[:, None], splats.mean2d, -1e6)
-    r = splats.radius
-    x0 = jnp.clip(jnp.floor((mean[:, 0] - r) / ts), 0, gx).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((mean[:, 1] - r) / ts), 0, gy).astype(jnp.int32)
-    x1 = jnp.clip(jnp.floor((mean[:, 0] + r) / ts) + 1, 0, gx).astype(jnp.int32)
-    y1 = jnp.clip(jnp.floor((mean[:, 1] + r) / ts) + 1, 0, gy).astype(jnp.int32)
+    if config.radius_sigma > 0:
+        rx = ry = splats.radius
+    else:
+        qa, qb, qc = (splats.conic[:, 0], splats.conic[:, 1],
+                      splats.conic[:, 2])
+        det_q = jnp.maximum(qa * qc - qb * qb, 1e-24)
+        tau = _cutoff_tau(splats.opacity, config)
+        # +0.5 px guards the boundary pixel against rounding differences
+        # between this closed form and the compositor's quadratic
+        rx = jnp.sqrt(2.0 * tau * qc / det_q) + 0.5
+        ry = jnp.sqrt(2.0 * tau * qa / det_q) + 0.5
+        rx = jnp.where(splats.valid, jnp.minimum(rx, splats.radius), 0.0)
+        ry = jnp.where(splats.valid, jnp.minimum(ry, splats.radius), 0.0)
+    x0 = jnp.clip(jnp.floor((mean[:, 0] - rx) / ts), 0, gx).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((mean[:, 1] - ry) / ts), 0, gy).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((mean[:, 0] + rx) / ts) + 1, 0, gx).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((mean[:, 1] + ry) / ts) + 1, 0, gy).astype(jnp.int32)
     rw = jnp.where(splats.valid, x1 - x0, 0)
     rh = jnp.where(splats.valid, y1 - y0, 0)
     return x0, y0, rw, rh
+
+
+def _rect_quad_min(qa, qb, qc, dx0, dx1, dy0, dy1):
+    """Exact min of q(d) = ½(A dx² + 2B dx dy + C dy²) over the rectangle
+    [dx0,dx1]×[dy0,dy1] for positive-definite (A,B,C). The unconstrained
+    minimum is q(0)=0; otherwise the min lies on one of the four edges,
+    where the 1D minimizer clamps to the edge interval."""
+    inside = (dx0 <= 0) & (dx1 >= 0) & (dy0 <= 0) & (dy1 >= 0)
+    safe_a = jnp.maximum(qa, 1e-12)
+    safe_c = jnp.maximum(qc, 1e-12)
+
+    def edge_x(e):           # dx fixed at e, minimize over dy
+        y = jnp.clip(-qb * e / safe_c, dy0, dy1)
+        return 0.5 * qa * e * e + qb * e * y + 0.5 * qc * y * y
+
+    def edge_y(e):           # dy fixed at e, minimize over dx
+        x = jnp.clip(-qb * e / safe_a, dx0, dx1)
+        return 0.5 * qc * e * e + qb * e * x + 0.5 * qa * x * x
+
+    q = jnp.minimum(
+        jnp.minimum(edge_x(dx0), edge_x(dx1)),
+        jnp.minimum(edge_y(dy0), edge_y(dy1)),
+    )
+    return jnp.where(inside, 0.0, q)
 
 
 def bin_splats(
@@ -139,16 +196,43 @@ def bin_splats(
 
     x0, y0, rw, rh = _footprints(splats, width, height, config)
     ntg_full = rw * rh
+    ts = config.tile_size
+    exact_tile_test = config.radius_sigma <= 0 and config.tile_cull
 
-    def slot_tiles(x0, y0, rw, ntg, d):
-        """Dense slot grid: slot k → k-th tile of the footprint (row-major)."""
+    def slot_tiles(x0, y0, rw, ntg, d, rows=None):
+        """Dense slot grid: slot k → k-th tile of the footprint (row-major).
+
+        With `rows` = (mx, my, A, B, C, τ) per row, each slot additionally
+        passes an EXACT ellipse–tile-rect overlap test (_rect_quad_min):
+        corner tiles of the bounding rect that the cutoff level-set ellipse
+        misses are marked dead and sort to the end with the sentinels —
+        output-exact pair-count reduction (the compositor zeroes
+        alpha < cutoff for every pixel of such tiles)."""
         slot = jnp.arange(d, dtype=jnp.int32)[None, :]
         live = slot < ntg[:, None]
         safe_rw = jnp.maximum(rw, 1)[:, None]
         ty = y0[:, None] + slot // safe_rw
         tx = x0[:, None] + slot % safe_rw
+        if rows is not None:
+            mx, my, qa, qb, qc, tau = rows
+            dx0 = tx.astype(jnp.float32) * ts - mx[:, None]
+            dy0 = ty.astype(jnp.float32) * ts - my[:, None]
+            qmin = _rect_quad_min(
+                qa[:, None], qb[:, None], qc[:, None],
+                dx0, dx0 + (ts - 1), dy0, dy0 + (ts - 1),
+            )
+            live = live & (qmin <= tau[:, None] + TAU_SLACK)
         tile = jnp.where(live, ty * gx + tx, num_tiles)
         return tile, live
+
+    if exact_tile_test:
+        rows_all = (
+            splats.mean2d[:, 0], splats.mean2d[:, 1],
+            splats.conic[:, 0], splats.conic[:, 1], splats.conic[:, 2],
+            _cutoff_tau(splats.opacity, config),
+        )
+    else:
+        rows_all = None
 
     d_a = min(config.tier_split, d) if config.tier_split > 0 else d
     if d_a < d:
@@ -163,7 +247,7 @@ def bin_splats(
         nb_cap = max(min(int(n * config.big_frac), n), 256)
 
         ntg_a = jnp.where(big, 0, jnp.minimum(ntg_full, d_a))
-        tile_a, live_a = slot_tiles(x0, y0, rw, ntg_a, d_a)
+        tile_a, live_a = slot_tiles(x0, y0, rw, ntg_a, d_a, rows=rows_all)
         gidx_a = jnp.broadcast_to(
             jnp.arange(n, dtype=jnp.int32)[:, None], (n, d_a)
         )
@@ -172,8 +256,11 @@ def bin_splats(
         idx_b = jnp.nonzero(big, size=nb_cap, fill_value=0)[0].astype(jnp.int32)
         valid_b = jnp.arange(nb_cap) < n_big
         ntg_b = jnp.where(valid_b, jnp.minimum(ntg_full[idx_b], d), 0)
+        rows_b = (
+            tuple(r[idx_b] for r in rows_all) if rows_all is not None else None
+        )
         tile_b, live_b = slot_tiles(
-            x0[idx_b], y0[idx_b], rw[idx_b], ntg_b, d
+            x0[idx_b], y0[idx_b], rw[idx_b], ntg_b, d, rows=rows_b
         )
         gidx_b = jnp.broadcast_to(idx_b[:, None], (nb_cap, d))
         depth_b = splats.depth[idx_b]
@@ -182,7 +269,9 @@ def bin_splats(
             jnp.sum((ntg_full > d).astype(jnp.int32))
             + jnp.maximum(n_big - nb_cap, 0)
         )
-        num_pairs = jnp.sum(ntg_a) + jnp.sum(ntg_b)
+        num_pairs = (
+            jnp.sum(live_a.astype(jnp.int32)) + jnp.sum(live_b.astype(jnp.int32))
+        )
 
         tiers = [
             (tile_a, live_a, gidx_a, depth_a),
@@ -191,12 +280,12 @@ def bin_splats(
         tier_a_width, tier_b_width = d_a, d
     else:
         ntg = jnp.minimum(ntg_full, d)
-        tile_id, live = slot_tiles(x0, y0, rw, ntg, d)
+        tile_id, live = slot_tiles(x0, y0, rw, ntg, d, rows=rows_all)
         gidx = jnp.broadcast_to(
             jnp.arange(n, dtype=jnp.int32)[:, None], (n, d)
         )
         overflow = jnp.sum((ntg_full > d).astype(jnp.int32))
-        num_pairs = jnp.sum(ntg)
+        num_pairs = jnp.sum(live.astype(jnp.int32))
         tiers = [(tile_id, live, gidx, splats.depth)]
         tier_a_width, tier_b_width = d, 0
         idx_b = jnp.zeros((0,), jnp.int32)

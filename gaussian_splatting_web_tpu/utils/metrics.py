@@ -44,12 +44,19 @@ class Timer:
         return False
 
 
-def enable_compile_cache(path: str = "/tmp/gswt_jax_cache") -> None:
+def enable_compile_cache(path: str | None = None) -> None:
     """Enable the persistent XLA compilation cache (first axon-TPU compiles
     route through a remote-compile tunnel and take minutes; the cache makes
-    every later CLI/bench invocation start hot)."""
+    every later CLI/bench invocation start hot). Defaults to a repo-local
+    directory (survives /tmp wipes between driver rounds)."""
+    import os
+
     import jax
 
+    if path is None:
+        path = os.environ.get("GSWT_COMPILE_CACHE") or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

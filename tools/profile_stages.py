@@ -119,7 +119,7 @@ def main():
     fields_t = jax.device_put(fields_t)
 
     def comp(carry):
-        ft = fields_t + carry * 1e-30
+        ft = tuple(f + carry * 1e-30 for f in fields_t)
         tiles, carr, _ = composite_tiles_pallas(
             splats, bins, W, H, config, fields_t=ft
         )
@@ -143,7 +143,7 @@ def main():
 
     def bwd(carry):
         dp = backward_pair_grads(
-            fields_t + carry * 1e-30, carries, cot_tiles,
+            tuple(f + carry * 1e-30 for f in fields_t), carries, cot_tiles,
             bins.tile_start, bins.tile_count, W, H, config,
         )
         return jnp.sum(dp[:, ::997]) * 1e-30
