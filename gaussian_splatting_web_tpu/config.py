@@ -41,11 +41,17 @@ class RenderConfig:
     gather_cap_factor: float = 0.0  # >0: truncate the sorted pair array to
                                  # this multiple of N (dead padding sorts
                                  # last, so ≥ live-pair count is lossless)
-    tile_cull: bool = True       # exact ellipse–tile-rect overlap test per
+    tile_cull: bool = False      # exact ellipse–tile-rect overlap test per
                                  # candidate (splat, tile) slot: corner tiles
                                  # of the bounding rect the cutoff level-set
                                  # ellipse misses are dropped (output-exact;
-                                 # only active when radius_sigma == 0)
+                                 # only active when radius_sigma == 0).
+                                 # Off by default: at the 1M-splat/1080p bench
+                                 # it cuts live pairs 18% but the per-slot
+                                 # edge-minimization adds ~16 ms to binning vs
+                                 # ~2 ms saved compositing (v5e measurement) —
+                                 # worth enabling only for scenes with large
+                                 # anisotropic splats.
 
     # --- EWA / splat constants (parity with the reference shader) --------
     lowpass: float = 0.3         # cov2d diagonal dilation  (simple_render.ts:295-296)
