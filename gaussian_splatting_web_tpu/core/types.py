@@ -74,10 +74,56 @@ class GaussianCloud:
         """(min, max) scene bounding box (ref: src/ply.ts:276-285)."""
         return jnp.min(self.xyz, axis=0), jnp.max(self.xyz, axis=0)
 
+    def reindex(self, order) -> "GaussianCloud":
+        """Reorder all per-gaussian rows by `order` (host or device index
+        array). Rendering is order-independent (depth sort happens per
+        frame), so any permutation is semantics-preserving."""
+        return GaussianCloud(
+            xyz=self.xyz[order],
+            log_scale=self.log_scale[order],
+            quat=self.quat[order],
+            opacity_logit=self.opacity_logit[order],
+            sh=self.sh[order],
+        )
+
+    def spatial_sort(self) -> "GaussianCloud":
+        """Morton-order the cloud (one host-side sort per scene).
+
+        Gives spatially coherent storage (useful for chunked/streamed
+        processing and keeping densification clones near their parents).
+        Note: measured on v5e, this does NOT speed up the per-frame pair
+        gather — XLA's row gather costs ~5.4 ns/row regardless of index
+        locality — so it is not wired into the render hot path.
+        """
+        return self.reindex(morton_order(np.asarray(jax.device_get(self.xyz))))
+
 
 _register(
     GaussianCloud, ["xyz", "log_scale", "quat", "opacity_logit", "sh"]
 )
+
+
+def morton_order(xyz: np.ndarray) -> np.ndarray:
+    """Argsort of 30-bit Morton (Z-order) codes of bbox-quantized positions."""
+    p = np.asarray(xyz, dtype=np.float64)
+    p = np.nan_to_num(p)
+    lo, hi = p.min(axis=0), p.max(axis=0)
+    q = ((p - lo) / np.maximum(hi - lo, 1e-12) * 1023.0).astype(np.uint64)
+
+    def spread(v):  # interleave 10 bits with two zero bits each
+        v &= np.uint64(0x3FF)
+        v = (v | (v << np.uint64(16))) & np.uint64(0x030000FF)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x0300F00F)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x030C30C3)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x09249249)
+        return v
+
+    code = (
+        spread(q[:, 0])
+        | (spread(q[:, 1]) << np.uint64(1))
+        | (spread(q[:, 2]) << np.uint64(2))
+    )
+    return np.argsort(code, kind="stable")
 
 
 @dataclasses.dataclass

@@ -13,6 +13,14 @@ program can't express:
     (INRIA-style) instead of saving activations.
 """
 
-from .raster import rasterize_tiles_pallas, composite_tiles_pallas
+from .raster import (
+    rasterize_tiles_pallas,
+    composite_tiles_pallas,
+    rasterize_pallas,
+)
 
-__all__ = ["rasterize_tiles_pallas", "composite_tiles_pallas"]
+__all__ = [
+    "rasterize_tiles_pallas",
+    "composite_tiles_pallas",
+    "rasterize_pallas",
+]

@@ -4,9 +4,11 @@ Semantically identical to ops.rasterize._composite_chunk (same INRIA alpha
 math, cutoffs, and early-termination rule), re-architected around what
 profiling showed actually dominates on TPU — the padded per-tile gather:
 
-  * splat fields are packed once into a (tile, depth)-sorted field-major
-    array [16, M] (ops.rasterize.pack_sorted_fields + one transpose), so a
-    tile's splat list is a contiguous slab;
+  * splat fields arrive in (tile, depth)-sorted field-major arrays
+    ([8, M] + [4, M]) so a tile's splat list is a contiguous slab. In the
+    fused entry (rasterize_pallas) they are carried through the binning
+    sort as payloads — measured free on v5e, vs ~38 ms at 3M pairs for the
+    row gathers (pack_sorted_fields_split) the payloads replace;
   * each grid step (one 16×16 pixel tile) streams its slab through VMEM in
     [16, KC=128] chunks with double-buffered async DMA at a *dynamic*
     offset — no [tiles × max_per_tile] gather or padding anywhere;
@@ -285,8 +287,22 @@ def _kernel(
 def _sorted_fields_t(
     splats: ProjectedSplats, bins: TileBins, k_cap: int
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """([8, M+pad], [4, M+pad]) field-major sorted splat arrays for slab DMA
-    (split-row gather: see rasterize.pack_sorted_fields_split)."""
+    """([8, M+pad], [4, M+pad]) field-major sorted splat arrays for slab DMA.
+
+    Fast path: bins carries the fields as sort payloads
+    (bin_splats(carry_fields=True)) — assembling the slab arrays is a pad +
+    stack, no gather at all. Fallback: the split-row gather
+    (rasterize.pack_sorted_fields_split), ~38 ms at 3M pairs on v5e vs ~0
+    for the payload path.
+    """
+    if bins.sorted_fields is not None:
+        pad = k_cap + KC
+        fs = [jnp.pad(f, (0, pad)) for f in bins.sorted_fields]
+        f8_t = jnp.stack(fs[:8], axis=0)                      # [8, M+pad]
+        z = jnp.zeros_like(fs[8])
+        f4_t = jnp.stack([fs[8], z, z, z], axis=0)            # [4, M+pad]
+        return f8_t, f4_t
+
     from ..rasterize import pack_sorted_fields_split
 
     f8, f4 = pack_sorted_fields_split(splats, bins, pad=k_cap + KC)
@@ -485,3 +501,45 @@ def _bwd(width, height, config, interpret, residuals, cotangent):
 
 
 rasterize_tiles_pallas.defvjp(_fwd, _bwd)
+
+
+def _forward_binned(splats, width, height, config, interpret):
+    from ..sort import bin_splats
+
+    bins = bin_splats(splats, width, height, config, carry_fields=True)
+    out, carries, fields_t = _forward(splats, bins, width, height, config,
+                                      interpret)
+    stats = {"num_pairs": bins.num_pairs, "overflow": bins.overflow}
+    return out + (stats,), (splats, bins, carries, fields_t)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def rasterize_pallas(splats, width, height, config, interpret=False):
+    """Bin + composite in one differentiable op → (rgb, alpha, stats).
+
+    The binning sort runs INSIDE this custom-VJP boundary with
+    carry_fields=True: the splat appearance fields ride the sort as
+    payloads (free — see bin_splats docstring) instead of being re-gathered
+    into pair order afterwards, and XLA AD never sees the sort (its
+    transpose would be a 5M-element scatter). The backward is the fused
+    back-to-front kernel (raster_bwd) + the sort-inverting fold, exactly as
+    for rasterize_tiles_pallas.
+
+    stats = {num_pairs, overflow} (int32; zero cotangent).
+    """
+    out, _ = _forward_binned(splats, width, height, config, interpret)
+    return out
+
+
+def _fwd_binned(splats, width, height, config, interpret=False):
+    return _forward_binned(splats, width, height, config, interpret)
+
+
+def _bwd_binned(width, height, config, interpret, residuals, cotangent):
+    d_rgb, d_alpha, _ = cotangent
+    d_splats, _ = _bwd(width, height, config, interpret, residuals,
+                       (d_rgb, d_alpha))
+    return (d_splats,)
+
+
+rasterize_pallas.defvjp(_fwd_binned, _bwd_binned)

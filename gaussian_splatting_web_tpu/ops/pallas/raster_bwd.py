@@ -146,6 +146,7 @@ def _bwd_kernel(
     @pl.when(useful > 0)
     def _():
         slab_start(0, useful - 1)
+        rmw_read_dma(0, useful - 1).start()
 
     def body(i, s_carry):
         c = useful - 1 - i
@@ -249,10 +250,14 @@ def _bwd_kernel(
         d_fg = gmat[1:2, :]
         d_fb = gmat[2:3, :]
 
-        # read-add-write the pair-gradient block, serialized (sequential
-        # grid steps make boundary-block RMW race-free; a pipelined variant
-        # measured no faster and miscompiled/raced on hardware)
-        rmw_read_dma(s, c).start()
+        # Read-add-write of the pair-gradient block, double-buffered: the
+        # read for chunk c was prefetched one iteration ahead (hidden behind
+        # this chunk's compute) and the write drains asynchronously while
+        # the next chunk computes. This is hazard-free because one tile's
+        # chunk blocks are disjoint (block = base + c·KC, distinct c), the
+        # VMEM slot is reused only after its write-out is waited, and the
+        # cross-tile shared boundary block is protected by the end-of-tile
+        # drain below (grid steps execute sequentially).
         rmw_read_dma(s, c).wait()
         grads = jnp.concatenate(
             [d_mx, d_my, d_ca, d_cb, d_cc, d_fr, d_fg, d_fb, d_op,
@@ -261,11 +266,30 @@ def _bwd_kernel(
         )
         rmw_ref[s] = rmw_ref[s] + grads
         rmw_write_dma(s, c).start()
-        rmw_write_dma(s, c).wait()
+
+        @pl.when(i + 1 < useful)
+        def _():
+            s2 = (i + 1) % 2
+
+            @pl.when(i >= 1)
+            def _():
+                rmw_write_dma(s2, c + 1).wait()
+
+            rmw_read_dma(s2, c - 1).start()
 
         return s_carry + jnp.sum(rw, axis=1, keepdims=True)
 
     jax.lax.fori_loop(0, useful, body, jnp.zeros((p, 1), jnp.float32))
+
+    # drain the (up to two) in-flight pair-gradient writes before the next
+    # grid step may touch a shared boundary block
+    @pl.when(useful > 1)
+    def _():
+        rmw_write_dma((useful - 2) % 2, 1).wait()
+
+    @pl.when(useful > 0)
+    def _():
+        rmw_write_dma((useful - 1) % 2, 0).wait()
 
 
 def backward_pair_grads(

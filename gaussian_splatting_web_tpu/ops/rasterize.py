@@ -263,23 +263,28 @@ def render_impl(
     Returns (image [H, W, 3], aux) where aux carries alpha and binning stats.
     """
     splats = project_gaussians(cloud, camera, width, height, config)
-    bins = bin_splats(splats, width, height, config)
 
     if config.use_pallas == "always" or (
         config.use_pallas == "auto" and jax.default_backend() == "tpu"
     ):
-        from .pallas.raster import rasterize_tiles_pallas
+        # bin_splats runs inside rasterize_pallas's custom-VJP boundary so
+        # the splat fields can ride the binning sort as payloads (no pair
+        # gather) without XLA AD transposing the sort.
+        from .pallas.raster import rasterize_pallas
 
-        rgb, alpha = rasterize_tiles_pallas(splats, bins, width, height, config)
+        rgb, alpha, stats = rasterize_pallas(splats, width, height, config)
+        num_pairs, overflow = stats["num_pairs"], stats["overflow"]
     else:
+        bins = bin_splats(splats, width, height, config)
         rgb, alpha = rasterize_tiles(splats, bins, width, height, config)
+        num_pairs, overflow = bins.num_pairs, bins.overflow
 
     bg = jnp.asarray(config.background, dtype=rgb.dtype)
     img = rgb + (1.0 - alpha[..., None]) * bg
     aux = {
         "alpha": alpha,
-        "num_pairs": bins.num_pairs,
-        "overflow": bins.overflow,
+        "num_pairs": num_pairs,
+        "overflow": overflow,
         "num_visible": jnp.sum(splats.valid.astype(jnp.int32)),
     }
     return img, aux

@@ -41,6 +41,15 @@ class TileBins:
     tile_count:   [T] segment length per tile.
     num_pairs:    [] total live pairs (observability).
     overflow:     [] gaussians whose tile footprint was truncated at max_dup.
+    sorted_fields: None, or a 9-tuple of [M] f32 arrays (mx, my, conic_a,
+                  conic_b, conic_c, r, g, b, opacity) already in (tile,
+                  depth)-sorted pair order — the splat appearance fields
+                  carried through the sort as extra payloads
+                  (carry_fields=True). Measured on v5e at 5M slots, extra
+                  sort payloads are essentially free (1key+3payloads
+                  17.9 ms vs 1key+10payloads 16.8 ms) while the row
+                  gathers they replace cost ~38 ms at 3M pairs — XLA's
+                  gather is ~5-7 ns/row regardless of index locality.
     sorted_slot:  [n_slots] FULL sort permutation: position → originating
                   slot id (tier A slot g·dₐ+k, tier B slot n·dₐ + j·d + k).
                   Untruncated so the backward can invert it with a second
@@ -59,6 +68,7 @@ class TileBins:
     overflow: jax.Array
     sorted_slot: jax.Array
     idx_b: jax.Array
+    sorted_fields: tuple | None = None
     tier_a_width: int = 0
     tier_b_width: int = 0
 
@@ -66,7 +76,7 @@ class TileBins:
 jax.tree_util.register_dataclass(
     TileBins,
     data_fields=["sorted_gidx", "tile_start", "tile_count", "num_pairs",
-                 "overflow", "sorted_slot", "idx_b"],
+                 "overflow", "sorted_slot", "idx_b", "sorted_fields"],
     meta_fields=["tier_a_width", "tier_b_width"],
 )
 
@@ -173,6 +183,7 @@ def bin_splats(
     width: int,
     height: int,
     config: RenderConfig,
+    carry_fields: bool = False,
 ) -> TileBins:
     """Bin projected splats into depth-sorted per-tile segments.
 
@@ -188,6 +199,14 @@ def bin_splats(
     exact lexicographic two-key sort; depth ordering ties only for splats
     whose depths agree to ~2⁻¹³ relative, visually indistinguishable.
     `depth_bits = 0` selects the exact (tile, f32-depth) two-key sort.
+
+    With `carry_fields=True` the splat appearance fields ride through the
+    sort as nine extra f32 payloads (see TileBins.sorted_fields), replacing
+    the post-sort pair-order row gathers the fused compositor would
+    otherwise need. NOTE: the payloads make the sort outputs functions of
+    the differentiable splat fields — callers taking gradients must keep
+    bin_splats inside a custom-VJP boundary (ops.pallas.raster does) so
+    XLA AD never transposes the sort.
     """
     gx, gy = config.grid_size(width, height)
     num_tiles = gx * gy
@@ -234,6 +253,14 @@ def bin_splats(
     else:
         rows_all = None
 
+    field_cols = (
+        (splats.mean2d[:, 0], splats.mean2d[:, 1],
+         splats.conic[:, 0], splats.conic[:, 1], splats.conic[:, 2],
+         splats.rgb[:, 0], splats.rgb[:, 1], splats.rgb[:, 2],
+         splats.opacity)
+        if carry_fields else ()
+    )
+
     d_a = min(config.tier_split, d) if config.tier_split > 0 else d
     if d_a < d:
         # Two-tier duplication: most splats touch ≤ tier_split tiles (for
@@ -277,6 +304,13 @@ def bin_splats(
             (tile_a, live_a, gidx_a, depth_a),
             (tile_b, live_b, gidx_b, depth_b),
         ]
+        field_payloads = tuple(
+            jnp.concatenate([
+                jnp.broadcast_to(f[:, None], (n, d_a)).reshape(-1),
+                jnp.broadcast_to(f[idx_b][:, None], (nb_cap, d)).reshape(-1),
+            ])
+            for f in field_cols
+        )
         tier_a_width, tier_b_width = d_a, d
     else:
         ntg = jnp.minimum(ntg_full, d)
@@ -287,6 +321,10 @@ def bin_splats(
         overflow = jnp.sum((ntg_full > d).astype(jnp.int32))
         num_pairs = jnp.sum(live.astype(jnp.int32))
         tiers = [(tile_id, live, gidx, splats.depth)]
+        field_payloads = tuple(
+            jnp.broadcast_to(f[:, None], (n, d)).reshape(-1)
+            for f in field_cols
+        )
         tier_a_width, tier_b_width = d, 0
         idx_b = jnp.zeros((0,), jnp.int32)
 
@@ -304,8 +342,9 @@ def bin_splats(
         # slot payload: the concatenated flat index IS the slot id (tier A
         # row-major [n, dₐ], then tier B [nb_cap, d])
         slot_iota = jnp.arange(keys.shape[0], dtype=jnp.int32)
-        sorted_key, sorted_gidx, sorted_slot = jax.lax.sort(
-            (keys, jnp.concatenate(gidxs), slot_iota), num_keys=1
+        sorted_key, sorted_gidx, sorted_slot, *sorted_fields = jax.lax.sort(
+            (keys, jnp.concatenate(gidxs), slot_iota) + field_payloads,
+            num_keys=1,
         )
         bounds = jnp.arange(num_tiles + 1, dtype=jnp.uint32) << depth_bits
         edges = jnp.searchsorted(sorted_key, bounds, side="left").astype(
@@ -325,13 +364,13 @@ def bin_splats(
             gidx_flat.append(gidx.reshape(-1))
         tiles_cat = jnp.concatenate(tiles_flat)
         slot_iota = jnp.arange(tiles_cat.shape[0], dtype=jnp.int32)
-        sorted_tile, _, sorted_gidx, sorted_slot = jax.lax.sort(
+        sorted_tile, _, sorted_gidx, sorted_slot, *sorted_fields = jax.lax.sort(
             (
                 tiles_cat,
                 jnp.concatenate(depths_flat),
                 jnp.concatenate(gidx_flat),
                 slot_iota,
-            ),
+            ) + field_payloads,
             num_keys=2,
         )
         tile_range = jnp.arange(num_tiles, dtype=jnp.int32)
@@ -353,6 +392,7 @@ def bin_splats(
         m_total = sorted_gidx.shape[0]
         cap = min(m_total, int(n * config.gather_cap_factor))
         sorted_gidx = sorted_gidx[:cap]
+        sorted_fields = [f[:cap] for f in sorted_fields]
         tile_count = jnp.minimum(
             tile_count, jnp.maximum(cap - tile_start, 0)
         )
@@ -362,6 +402,7 @@ def bin_splats(
 
     return TileBins(
         sorted_gidx=sorted_gidx,
+        sorted_fields=tuple(sorted_fields) if carry_fields else None,
         tile_start=tile_start,
         tile_count=tile_count,
         num_pairs=num_pairs,

@@ -260,3 +260,75 @@ def test_bin_splats_gather_cap_truncates_gracefully():
     m = int(b.sorted_gidx.shape[0])
     assert np.all(start + count <= m)
     assert int(b.overflow) > 0
+
+
+def test_rect_quad_min_matches_bruteforce():
+    """_rect_quad_min: exact min of the PD quadratic over a rectangle,
+    checked against a dense grid evaluation."""
+    from gaussian_splatting_web_tpu.ops.sort import _rect_quad_min
+
+    rng = np.random.default_rng(3)
+    for _ in range(50):
+        # random positive-definite (A, B, C)
+        l1, l2 = rng.uniform(0.05, 2.0, 2)
+        th = rng.uniform(0, np.pi)
+        c, s = np.cos(th), np.sin(th)
+        A = l1 * c * c + l2 * s * s
+        C = l1 * s * s + l2 * c * c
+        B = (l1 - l2) * c * s
+        x0, y0 = rng.uniform(-20, 10, 2)
+        dx0, dy0 = x0, y0
+        dx1, dy1 = x0 + rng.uniform(1, 20), y0 + rng.uniform(1, 20)
+        got = float(
+            _rect_quad_min(
+                jnp.float32(A), jnp.float32(B), jnp.float32(C),
+                jnp.float32(dx0), jnp.float32(dx1),
+                jnp.float32(dy0), jnp.float32(dy1),
+            )
+        )
+        xs = np.linspace(dx0, dx1, 201)
+        ys = np.linspace(dy0, dy1, 201)
+        X, Y = np.meshgrid(xs, ys)
+        q = 0.5 * A * X * X + B * X * Y + 0.5 * C * Y * Y
+        ref = float(q.min())
+        # grid min overestimates the true min slightly; the closed form
+        # must never exceed it and must be close
+        assert got <= ref + 1e-4 * max(abs(ref), 1.0)
+        assert got >= ref - 0.05 * max(abs(ref), 1.0) - 1e-4
+
+
+def test_tile_cull_is_output_exact():
+    """tile_cull drops only (splat, tile) pairs whose cutoff level-set
+    ellipse misses the tile — rendered images must be identical."""
+    from gaussian_splatting_web_tpu.ops.rasterize import render_impl
+
+    cloud, camera, w, h = _setup(n=120, seed=7)
+    base = dict(max_dup=32, use_pallas="never")
+    img0, aux0 = render_impl(
+        cloud, camera, w, h, RenderConfig(tile_cull=False, **base)
+    )
+    img1, aux1 = render_impl(
+        cloud, camera, w, h, RenderConfig(tile_cull=True, **base)
+    )
+    assert int(aux1["num_pairs"]) <= int(aux0["num_pairs"])
+    np.testing.assert_allclose(
+        np.asarray(img0), np.asarray(img1), rtol=0, atol=1e-6
+    )
+
+
+def test_tile_cull_output_exact_two_tier():
+    """Same, through the two-tier + packed-key binning path."""
+    from gaussian_splatting_web_tpu.ops.rasterize import render_impl
+
+    cloud, camera, w, h = _setup(n=120, seed=11)
+    base = dict(max_dup=16, tier_split=2, depth_bits=19,
+                gather_cap_factor=3.0, use_pallas="never")
+    img0, _ = render_impl(
+        cloud, camera, w, h, RenderConfig(tile_cull=False, **base)
+    )
+    img1, aux1 = render_impl(
+        cloud, camera, w, h, RenderConfig(tile_cull=True, **base)
+    )
+    np.testing.assert_allclose(
+        np.asarray(img0), np.asarray(img1), rtol=0, atol=1e-6
+    )

@@ -73,3 +73,64 @@ def test_pallas_grad_through_custom_vjp():
             np.asarray(getattr(g1, name)), np.asarray(getattr(g0, name)),
             atol=5e-4, err_msg=name,  # bf16x2 cumsum: ~1e-4 weight noise
         )
+
+
+def test_rasterize_pallas_binned_matches_xla():
+    """The fused bin+composite entry (fields carried as sort payloads) must
+    match the portable path, image and gradients."""
+    from gaussian_splatting_web_tpu.ops.pallas.raster import rasterize_pallas
+
+    cfg = RenderConfig(max_dup=16, max_per_tile=256, tile_chunk=4,
+                       depth_bits=19, tier_split=4, gather_cap_factor=3.0)
+    cloud = make_random_cloud(60, seed=3, sh_degree=1)
+    w, h = 64, 48
+    camera = cam.default_camera(w, h, eye=(0, 0, -6), center=(0, 0, 0))
+    s = project_gaussians(cloud, camera, w, h, cfg)
+    b = bin_splats(s, w, h, cfg)
+    rgb0, a0 = rasterize_tiles(s, b, w, h, cfg)
+    rgb1, a1, stats = rasterize_pallas(s, w, h, cfg, True)
+    assert int(stats["num_pairs"]) == int(b.num_pairs)
+    np.testing.assert_allclose(np.asarray(rgb1), np.asarray(rgb0), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a0), atol=2e-4)
+
+    def loss_pallas(s):
+        rgb, a, _ = rasterize_pallas(s, w, h, cfg, True)
+        return jnp.sum(rgb**2) + jnp.sum(a)
+
+    def loss_xla(s):
+        rgb, a = rasterize_tiles(s, b, w, h, cfg)
+        return jnp.sum(rgb**2) + jnp.sum(a)
+
+    g1 = jax.grad(loss_pallas, allow_int=True)(s)
+    g0 = jax.grad(loss_xla, allow_int=True)(s)
+    for name in ("mean2d", "conic", "rgb", "opacity"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(g1, name)), np.asarray(getattr(g0, name)),
+            atol=5e-4, err_msg=name,
+        )
+
+
+def test_bin_splats_carry_fields_matches_gather():
+    """sorted_fields payloads must equal a post-sort gather of the fields."""
+    cfg = RenderConfig(max_dup=16, depth_bits=19, tier_split=2,
+                       gather_cap_factor=3.0)
+    cloud = make_random_cloud(80, seed=9, sh_degree=0)
+    w, h = 96, 64
+    camera = cam.default_camera(w, h, eye=(0, 0, -6), center=(0, 0, 0))
+    s = project_gaussians(cloud, camera, w, h, cfg)
+    b = bin_splats(s, w, h, cfg, carry_fields=True)
+    assert b.sorted_fields is not None and len(b.sorted_fields) == 9
+    cols = np.stack(
+        [np.asarray(s.mean2d[:, 0]), np.asarray(s.mean2d[:, 1]),
+         np.asarray(s.conic[:, 0]), np.asarray(s.conic[:, 1]),
+         np.asarray(s.conic[:, 2]), np.asarray(s.rgb[:, 0]),
+         np.asarray(s.rgb[:, 1]), np.asarray(s.rgb[:, 2]),
+         np.asarray(s.opacity)], axis=1)
+    gidx = np.asarray(b.sorted_gidx)
+    start, count = np.asarray(b.tile_start), np.asarray(b.tile_count)
+    live = np.zeros(gidx.shape[0], bool)
+    for t in range(start.shape[0]):
+        live[start[t]:start[t] + count[t]] = True
+    want = cols[gidx]                       # [M, 9]
+    got = np.stack([np.asarray(f) for f in b.sorted_fields], axis=1)
+    np.testing.assert_array_equal(got[live], want[live])
