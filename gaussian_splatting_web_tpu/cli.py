@@ -68,6 +68,7 @@ def cmd_render(args):
 
     from .core import camera as cam
     from .io.cameras import load_cameras_json
+    from .ops.composite import post_process
     from .ops.rasterize import render
     from .utils.image import write_png
 
@@ -91,7 +92,17 @@ def cmd_render(args):
     for i, (camera, _, name) in enumerate(cams):
         t0 = time.time()
         img, aux = render(cloud, camera, w, h, config)
-        img.block_until_ready()
+        if getattr(args, "post", True):
+            # the reference's present pass always shapes alpha
+            # (post_process_render.ts:145-166); write RGBA so viewers
+            # composite it like the premultiplied canvas did
+            rgba = np.asarray(post_process(img, aux["alpha"], config))
+            a = np.maximum(rgba[..., 3:4], 1.0 / 255.0)
+            img = np.concatenate(
+                [np.clip(rgba[..., :3] / a, 0.0, 1.0), rgba[..., 3:4]], -1
+            )
+        else:
+            img.block_until_ready()
         dt = time.time() - t0
         total_t += dt
         out = os.path.join(args.out, f"{i:04d}_{os.path.basename(str(name))}.png")
@@ -205,6 +216,9 @@ def main(argv=None):
     sp.set_defaults(fn=cmd_info)
 
     sp = sub.add_parser("render", help="offline render to PNGs")
+    sp.add_argument("--no-post", dest="post", action="store_false",
+                    help="skip the present-pass alpha shaping "
+                         "(post_process_render.ts:63-76)")
     common(sp)
     sp.add_argument("--cameras", help="INRIA cameras.json")
     sp.add_argument("--out", default="renders")

@@ -170,11 +170,13 @@ def default_camera(
     fov_y: float = DEFAULT_FOV,
     znear: float = 0.03,
     zfar: float = 1000.0,
+    up=(0, 1, 0),
 ) -> CameraParams:
     """The reference's default orbit camera (camera.ts:101-111): look-at from
-    `eye` with a 60° perspective — canonicalized to the INRIA convention."""
+    `eye` with a 60° perspective — canonicalized to the INRIA convention.
+    `up` supports camera roll (the u/o keys, camera.ts:398-424)."""
     aspect = width / height
     fov_x = 2 * math.atan(math.tan(fov_y / 2) * aspect)
-    view = gl_to_colmap_view(look_at(eye, center, (0, 1, 0)))
+    view = gl_to_colmap_view(look_at(eye, center, up))
     proj = projection_inria(znear, zfar, fov_x, fov_y)
     return make_camera(view, proj, width, height)

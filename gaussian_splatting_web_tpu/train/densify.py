@@ -105,8 +105,24 @@ def densify_and_prune(
     scene_extent: float = 1.0,
     min_opacity: float = 0.005,
     max_world_radius_frac: float | None = None,
-) -> Tuple[GaussianModel, DensifyState]:
-    """One INRIA densification round (jittable, fixed shapes)."""
+) -> Tuple[GaussianModel, DensifyState, jax.Array]:
+    """One INRIA densification round (jittable, fixed shapes).
+
+    Faithful to INRIA densify_and_clone / densify_and_split:
+      * clone: exact copy into a free slot (source untouched);
+      * split: N=2 children, BOTH resampled from the source gaussian with
+        scale ÷ (0.8·N) = 1.6, and the source pruned — not the round-1
+        1-child + shrink-in-place shortcut.
+    Under the fixed arena, allocation happens in two prefix passes (child #1
+    for every hot source, child #2 for split sources); a split source is
+    pruned only if both of its children were actually placed, so arena
+    overflow degrades to a clone instead of losing mass.
+
+    Returns (model, state, changed): `changed` marks slots whose contents
+    were (re)written or freed this round — the rows whose Adam moments the
+    caller must zero (INRIA zeroes exactly the new rows; see
+    train_loop.reset_opt_rows).
+    """
     c = state.capacity
     avg_grad = state.grad_accum / jnp.maximum(state.denom, 1.0)
     max_scale = jnp.exp(jnp.max(model.log_scale, axis=-1))
@@ -116,55 +132,65 @@ def densify_and_prune(
     clone_mask = hot & (max_scale <= dense_limit)
     split_mask = hot & (max_scale > dense_limit)
 
-    # --- allocate children: one new slot per clone or split source -------
-    want = clone_mask | split_mask
-    free = ~state.alive
-    src, dst, live = _alloc(free, want)
-
-    def take(x, idx):
-        return x[idx]
-
-    # children copy the source
-    child = jax.tree_util.tree_map(lambda x: take(x, src), model)
-    child_is_split = split_mask[src]
-
-    # split children (and their sources): resample position from the
-    # gaussian, scale ÷ 1.6 (INRIA densify_and_split)
-    noise = jax.random.normal(key, (c, 3))
-    scale_src = jnp.exp(child.log_scale)
     from ..ops.projection import quat_to_rotmat
 
-    R = quat_to_rotmat(child.quat)
-    offset = jnp.einsum("nij,nj->ni", R, noise * scale_src)
-    split_xyz = child.xyz + offset
-    split_log_scale = child.log_scale - jnp.log(1.6)
+    def make_children(src, sub):
+        """Children gathered at `src`; split sources resampled + shrunk."""
+        child = jax.tree_util.tree_map(lambda x: x[src], model)
+        is_split = split_mask[src]
+        noise = jax.random.normal(sub, (c, 3))
+        R = quat_to_rotmat(child.quat)
+        offset = jnp.einsum(
+            "nij,nj->ni", R, noise * jnp.exp(child.log_scale)
+        )
+        return dataclasses.replace(
+            child,
+            xyz=jnp.where(is_split[:, None], child.xyz + offset, child.xyz),
+            log_scale=jnp.where(
+                is_split[:, None], child.log_scale - jnp.log(1.6),
+                child.log_scale,
+            ),
+        )
 
-    child = dataclasses.replace(
-        child,
-        xyz=jnp.where(child_is_split[:, None], split_xyz, child.xyz),
-        log_scale=jnp.where(
-            child_is_split[:, None], split_log_scale, child.log_scale
-        ),
-    )
+    def placed_mask(src, live):
+        return (
+            jnp.zeros((c,), bool)
+            .at[jnp.where(live, src, c)]
+            .set(True, mode="drop")
+        )
 
-    # scatter children into free slots
-    def scatter(dst_arr, child_arr):
+    key1, key2 = jax.random.split(key)
+    free = ~state.alive
+    changed = jnp.zeros((c,), bool)
+
+    # pass 1: one child per hot source (clone copy or split child #1)
+    src1, dst1, live1 = _alloc(free, clone_mask | split_mask)
+    child1 = make_children(src1, key1)
+    # pass 2: split child #2, from the free slots pass 1 didn't take
+    taken1 = placed_mask(dst1, live1)
+    src2, dst2, live2 = _alloc(free & ~taken1, split_mask)
+    child2 = make_children(src2, key2)
+
+    def scatter(dst_arr, child_arr, dst, live):
         idx = jnp.where(live, dst, c)  # c → dropped
         return dst_arr.at[idx].set(child_arr, mode="drop")
 
-    new_model = jax.tree_util.tree_map(scatter, model, child)
-
-    # shrink split *sources* in place too
-    src_split = split_mask
-    new_model = dataclasses.replace(
-        new_model,
-        log_scale=jnp.where(
-            src_split[:, None], new_model.log_scale - jnp.log(1.6),
-            new_model.log_scale,
-        ),
+    new_model = jax.tree_util.tree_map(
+        lambda a, ch: scatter(a, ch, dst1, live1), model, child1
     )
+    new_model = jax.tree_util.tree_map(
+        lambda a, ch: scatter(a, ch, dst2, live2), new_model, child2
+    )
+    alive = state.alive | taken1 | placed_mask(dst2, live2)
+    changed = changed | taken1 | placed_mask(dst2, live2)
 
-    alive = state.alive.at[jnp.where(live, dst, c)].set(True, mode="drop")
+    # prune split sources whose both children were placed (INRIA
+    # densify_and_split ends with prune_points(selected))
+    fully_split = (
+        split_mask & placed_mask(src1, live1) & placed_mask(src2, live2)
+    )
+    alive = alive & ~fully_split
+    changed = changed | fully_split
 
     # --- prune ----------------------------------------------------------
     opacity = jax.nn.sigmoid(new_model.opacity_logit)
@@ -176,6 +202,7 @@ def densify_and_prune(
             jnp.exp(jnp.max(new_model.log_scale, axis=-1))
             > max_world_radius_frac * scene_extent
         )
+    changed = changed | (alive & dead)
     alive = alive & ~dead
 
     # dead slots must never rasterize
@@ -185,7 +212,11 @@ def densify_and_prune(
     )
 
     zeros = jnp.zeros((c,), jnp.float32)
-    return new_model, DensifyState(grad_accum=zeros, denom=zeros, alive=alive)
+    return (
+        new_model,
+        DensifyState(grad_accum=zeros, denom=zeros, alive=alive),
+        changed,
+    )
 
 
 def reset_opacity(model: GaussianModel, alive: jnp.ndarray,

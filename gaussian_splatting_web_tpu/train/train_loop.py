@@ -7,9 +7,10 @@ The INRIA recipe re-expressed jit-first:
     zero-valued auxiliary parameter added to the projected means (its
     gradient IS d loss / d mean2d, with no second pass);
   * densification/pruning runs every `densify_every` steps as a jitted
-    fixed-shape arena update (train.densify); the optimizer state is
-    re-initialized after each round (moments for re-allocated slots must
-    not leak — INRIA zeroes them per-row, we reset wholesale);
+    fixed-shape arena update (train.densify); Adam moments are zeroed
+    per-row for exactly the slots the round rewrote or freed
+    (reset_opt_rows — INRIA's cat_tensors_to_optimizer/prune semantics),
+    surviving gaussians keep their moments;
   * opacity reset every `opacity_reset_every`; SH degree unlocks one band
     every `sh_upgrade_every` (INRIA oneupSHdegree).
 """
@@ -38,6 +39,45 @@ from .densify import (
 )
 from .loss import photometric_loss
 from .trainer import TrainState, make_optimizer
+
+
+def reset_opt_rows(opt_state, changed: jnp.ndarray):
+    """Zero per-gaussian optimizer moments at `changed` rows.
+
+    INRIA's densification surgically zeroes exp_avg/exp_avg_sq for new rows
+    (cat_tensors_to_optimizer) and drops pruned rows' state
+    (_prune_optimizer); in the fixed-capacity arena both become "zero the
+    moment rows the round touched". Every opt-state leaf whose leading
+    dimension matches the arena capacity is a per-row moment (Adam mu/nu
+    over the GaussianModel pytree); scalars (step counts, schedules) pass
+    through untouched.
+    """
+    c = changed.shape[0]
+
+    def fix(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == c:
+            mask = changed.reshape((c,) + (1,) * (x.ndim - 1))
+            return jnp.where(mask, jnp.zeros_like(x), x)
+        return x
+
+    return jax.tree_util.tree_map(fix, opt_state)
+
+
+def reset_opt_opacity(opt_state, capacity: int):
+    """Zero the opacity moments for all rows (INRIA reset_opacity replaces
+    the opacity tensor in the optimizer with zeroed state,
+    replace_tensor_to_optimizer)."""
+
+    def fix(path, x):
+        is_opacity = any(
+            getattr(p, "name", "") == "opacity_logit" for p in path
+        )
+        if (is_opacity and hasattr(x, "ndim") and x.ndim >= 1
+                and x.shape[0] == capacity):
+            return jnp.zeros_like(x)
+        return x
+
+    return jax.tree_util.tree_map_with_path(fix, opt_state)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -73,8 +113,17 @@ def make_densify_train_step(
         cloud = params.to_cloud(sh_degree)
         splats = project_gaussians(cloud, camera, width, height, config)
         splats = dataclasses.replace(splats, mean2d=splats.mean2d + vs_aux)
-        bins = bin_splats(splats, width, height, config)
-        rgb, alpha = rasterize_tiles(splats, bins, width, height, config)
+        # same kernel dispatch as ops.rasterize.render_impl: the fused
+        # Pallas compositor on TPU, the portable XLA path elsewhere
+        if config.use_pallas == "always" or (
+            config.use_pallas == "auto" and jax.default_backend() == "tpu"
+        ):
+            from ..ops.pallas.raster import rasterize_pallas
+
+            rgb, alpha, _ = rasterize_pallas(splats, width, height, config)
+        else:
+            bins = bin_splats(splats, width, height, config)
+            rgb, alpha = rasterize_tiles(splats, bins, width, height, config)
         bg = jnp.asarray(config.background, dtype=rgb.dtype)
         img = rgb + (1.0 - alpha[..., None]) * bg
         loss = photometric_loss(img, target, lambda_dssim)
@@ -153,10 +202,10 @@ def train(
         if (loop.densify_from <= it <= loop.densify_until
                 and it % loop.densify_every == 0):
             key, sub = jax.random.split(key)
-            new_params, dstate = densify_jit(state.params, dstate, sub)
+            new_params, dstate, changed = densify_jit(state.params, dstate, sub)
             state = TrainState(
                 params=new_params,
-                opt_state=optimizer.init(new_params),
+                opt_state=reset_opt_rows(state.opt_state, changed),
                 step=state.step,
             )
 
@@ -164,7 +213,7 @@ def train(
             new_params = reset_opacity(state.params, dstate.alive)
             state = TrainState(
                 params=new_params,
-                opt_state=optimizer.init(new_params),
+                opt_state=reset_opt_opacity(state.opt_state, capacity),
                 step=state.step,
             )
 

@@ -43,6 +43,7 @@ class OrbitState:
     previous_eye: Tuple[float, float, float] = (0.0, -5.0, 3.0)
     inertia: float = 0.0
     sensitivity: float = 0.1  # the reference's slider value / 1000 (camera.ts:74-76)
+    up: Tuple[float, float, float] = (0.0, 1.0, 0.0)  # rolled by u/o keys
 
     def replace(self, **kw) -> "OrbitState":
         return dataclasses.replace(self, **kw)
@@ -116,6 +117,33 @@ def zoom(state: OrbitState, delta: float) -> OrbitState:
     return state.replace(radius=radius, eye=tuple(center + dir * radius))
 
 
+def roll(state: OrbitState, dz: float) -> OrbitState:
+    """Roll the camera-up vector about the view axis.
+
+    The reference's u/o keys feed a dRZ delta (camera.ts:406-414) into
+    rotate(x, y, z) — whose body never reads z (camera.ts:184-234), making
+    them silent no-ops. We implement the evidently intended roll: rotate the
+    up vector about the eye→center axis by the same 2π·sensitivity scaling
+    rotate applies to x/y."""
+    if dz == 0:
+        return state
+    dz = dz * 2 * math.pi * state.sensitivity
+    eye = np.asarray(state.eye, dtype=np.float64)
+    center = np.asarray(state.center, dtype=np.float64)
+    axis = center - eye
+    n = np.linalg.norm(axis)
+    if n < 1e-12:
+        return state
+    up = _rot_about(axis / n, dz) @ np.asarray(state.up, dtype=np.float64)
+    up /= max(np.linalg.norm(up), 1e-12)
+    return state.replace(up=tuple(up))
+
+
+def set_sensitivity(state: OrbitState, value: float) -> OrbitState:
+    """Rotate-speed slider (camera.ts:73-76: slider value / 1000)."""
+    return state.replace(sensitivity=min(max(float(value), 1e-3), 10.0))
+
+
 def release(state: OrbitState) -> OrbitState:
     """Mouse-up: arm inertia (camera.ts mouseup handler :356-363)."""
     return state.replace(inertia=1.0, previous_eye=state.eye)
@@ -149,5 +177,5 @@ def to_camera(
     """Project orbit state into renderer camera params (INRIA-canonical)."""
     return cam.default_camera(
         width, height, eye=state.eye, center=state.center,
-        fov_y=fov_y, znear=znear, zfar=zfar,
+        fov_y=fov_y, znear=znear, zfar=zfar, up=state.up,
     )
