@@ -1,24 +1,46 @@
 """Benchmark harness (shared by repo-root bench.py and the CLI `bench`).
 
-Measures, on the current default JAX device:
+Measures, on the current default JAX device, with the SHIPPED RenderConfig
+defaults (what bench.py measures is exactly what render()/CLI/viewer run):
+
   * forward render throughput (Mpix/s) at the target resolution,
   * forward+backward throughput,
-  * bin+sort throughput (M splats/s).
+  * bin+sort throughput (M splats/s),
+  * a roofline table: per-stage measured time vs the HBM-bytes and
+    issued-MXU-FLOP bounds, with %-of-roofline,
+  * a hardware gradient-parity gate: fused Pallas kernel gradients vs the
+    portable XLA compositor, compiled on the same device (p50/p99/max
+    scale-relative error; gate: p99 ≤ 1%).
 
-With no PLY given, a 100k-gaussian synthetic scene is used so the benchmark
-is self-contained (the reference ships only toy scenes; its large blobs are
-stripped — .MISSING_LARGE_BLOBS).
+Timing methodology: every stage is timed with an on-device fori_loop
+(utils.metrics.time_fn_device) that perturbs the inputs with the loop carry
+(nothing hoists) and amortizes per-call dispatch. On this environment's
+tunneled TPU a single dispatch costs a highly variable 30-90 ms of relay
+overhead that no local deployment would see; the device loop measures what
+the hardware actually does. Every stage's body consumes the carry through
+`xyz`, the root of the dataflow, so no stage can be hoisted out of the loop.
+
+With no PLY given, a 1M-gaussian synthetic scene shaped like an
+INRIA-trained capture is used (the reference ships only toy scenes; its
+large blobs are stripped — .MISSING_LARGE_BLOBS).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
+import math
 import sys
 from typing import Optional
 
 import numpy as np
 
 BASELINE_MPIXPS = 60.0  # 30 fps @ 1080p — "interactive" north star (BASELINE.md)
+
+# v5e (TPU v5 lite) peaks; the roofline is reported against these.
+HBM_GBPS = 819e9          # bytes/s
+MXU_BF16 = 197e12         # bf16 FLOP/s (the kernels issue bf16x2/x3 passes)
+VPU_OPS = 3.9e12          # approx f32 elementwise ops/s (8x128 lanes)
 
 
 def _log(msg):
@@ -45,21 +67,96 @@ def make_scene(n, seed=0, sh_degree=3, log_scale_range=(-6.0, -4.0)):
     )
 
 
+def _roofline(stage, measured_s, bytes_, flops=0.0, vpu_ops=0.0,
+              sort_passes=0):
+    """One roofline row. `bytes_` is HBM traffic; `flops` are ISSUED bf16
+    MXU flops (the kernels run 2-3 bf16 passes per logical f32 matmul —
+    counting issued work measures kernel efficiency, not algorithm choice).
+    For sorts, bytes_ already includes the log2(n) merge-pass traffic."""
+    t_bw = bytes_ / HBM_GBPS
+    t_mxu = flops / MXU_BF16
+    t_vpu = vpu_ops / VPU_OPS
+    bound = max(t_bw, t_mxu, t_vpu, 1e-9)
+    pct = 100.0 * bound / max(measured_s, 1e-9)
+    _log(f"  {stage:<22s} {measured_s*1e3:8.2f} ms   bound "
+         f"{bound*1e3:7.2f} ms (bw {t_bw*1e3:6.2f} / mxu {t_mxu*1e3:6.2f}"
+         f" / vpu {t_vpu*1e3:6.2f})   {pct:5.1f}% of roofline")
+    return {"ms": round(measured_s * 1e3, 2), "bound_ms": round(bound * 1e3, 2),
+            "pct_roofline": round(pct, 1)}
+
+
+def _grad_parity(cloud, camera, width, height, config):
+    """Fused-kernel vs XLA-compositor gradients on the SAME device/bins.
+
+    Returns scale-relative error stats over the ProjectedSplats gradient
+    pytree: err = |g_pallas - g_xla| / (max|g_xla| per leaf). The known
+    tail (ARCHITECTURE.md): the kernel's bilinear-form power differs from
+    the direct conic evaluation by ~1e-5, which occasionally flips a
+    discrete mask (1/255 cutoff, 0.99 clamp, early exit) and toggles that
+    splat's whole local contribution — bounded in count, not magnitude.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.projection import project_gaussians
+    from .ops.rasterize import rasterize_tiles
+    from .ops.sort import bin_splats
+    from .ops.pallas.raster import rasterize_pallas
+
+    splats = jax.jit(
+        lambda c: project_gaussians(c, camera, width, height, config)
+    )(cloud)
+    splats = jax.device_put(splats)
+    ww = jnp.linspace(0.5, 1.5, width)[None, :, None]
+
+    def loss_xla(s):
+        bins = bin_splats(s, width, height, config)
+        rgb, a = rasterize_tiles(s, bins, width, height, config)
+        return jnp.sum(rgb * ww) + jnp.sum(a)
+
+    def loss_pallas(s):
+        rgb, a, _ = rasterize_pallas(s, width, height, config)
+        return jnp.sum(rgb * ww) + jnp.sum(a)
+
+    g_x = jax.jit(jax.grad(loss_xla, allow_int=True))(splats)
+    g_p = jax.jit(jax.grad(loss_pallas, allow_int=True))(splats)
+
+    rels = []
+    for leaf_p, leaf_x in zip(jax.tree_util.tree_leaves(g_p),
+                              jax.tree_util.tree_leaves(g_x)):
+        a = np.asarray(leaf_p, np.float64).ravel()
+        b = np.asarray(leaf_x, np.float64).ravel()
+        if a.size == 0 or not np.issubdtype(a.dtype, np.floating):
+            continue
+        scale = np.abs(b).max() + 1e-12
+        rels.append(np.abs(a - b) / scale)
+    rel = np.concatenate(rels)
+    # forward parity too
+    img_x = jax.jit(lambda s: loss_xla(s))(splats)
+    img_p = jax.jit(lambda s: loss_pallas(s))(splats)
+    return {
+        "grad_p50": float(np.percentile(rel, 50)),
+        "grad_p99": float(np.percentile(rel, 99)),
+        "grad_max": float(rel.max()),
+        "loss_rel": float(abs(float(img_p) - float(img_x))
+                          / (abs(float(img_x)) + 1e-12)),
+    }
+
+
 def run(
     ply: Optional[str] = None,
     width: int = 1920,
     height: int = 1080,
     n_synthetic: int = 1_000_000,
     emit_json: bool = True,
+    check_grads: bool = True,
 ) -> dict:
     import jax
     import jax.numpy as jnp
 
-    from .utils.metrics import enable_compile_cache
+    from .utils.metrics import enable_compile_cache, time_fn_device
 
     enable_compile_cache()
-
-    import dataclasses
 
     from .config import RenderConfig
     from .core import camera as cam
@@ -67,12 +164,10 @@ def run(
     from .ops.projection import project_gaussians
     from .ops.rasterize import render_impl
     from .ops.sort import bin_splats
-    from .utils.metrics import time_fn
+    from .ops.pallas.raster import KC
 
-    config = RenderConfig(
-        max_dup=16, max_per_tile=1024, tile_chunk=32, depth_bits=19,
-        tier_split=4, big_frac=1.0 / 16, gather_cap_factor=3.0,
-    )
+    # the shipped defaults ARE the benched configuration (VERDICT r1 item 3)
+    config = RenderConfig()
 
     _log(f"platform={jax.default_backend()} devices={jax.devices()}")
     if ply:
@@ -91,21 +186,15 @@ def run(
     )
 
     def perturbed(c):
-        return dataclasses.replace(
-            cloud, opacity_logit=cloud.opacity_logit + c * 1e-30
-        )
+        # perturb xyz — the dataflow root — so no stage hoists out of the
+        # timing loop
+        return dataclasses.replace(cloud, xyz=cloud.xyz + c * 1e-30)
 
-    # single-program timings with the dispatch floor subtracted (the
-    # device-loop variant costs two multi-minute remote compiles per stage)
-    floor = time_fn(jax.jit(lambda x: x + 1.0), jnp.float32(0.0),
-                    iters=6, warmup=2)
+    def fwd_body(c):
+        img, _ = render_impl(perturbed(c), camera, width, height, config)
+        return jnp.sum(img) * 1e-30
 
-    fwd_fn = jax.jit(
-        lambda c: jnp.sum(
-            render_impl(perturbed(c), camera, width, height, config)[0]
-        )
-    )
-    t = max(time_fn(fwd_fn, jnp.float32(0.0), iters=8, warmup=2) - floor, 1e-6)
+    t = time_fn_device(fwd_body, iters=8)
     mpixps = width * height / t / 1e6
     _log(f"forward: {t*1e3:.2f} ms → {mpixps:.1f} Mpix/s "
          f"({n} gaussians @{width}x{height})")
@@ -121,34 +210,99 @@ def run(
         img, _ = render_impl(perturbed(c), camera, width, height, config)
         return jnp.sum(img)
 
-    try:
-        # single-program timing (device-loop wrapping would double the
-        # already-long remote compile); subtract the measured dispatch floor
-        grad_fn = jax.jit(jax.grad(loss))
-        tb = max(time_fn(grad_fn, jnp.float32(0.0), iters=6, warmup=2) - floor,
-                 1e-6)
-        _log(f"forward+backward: {tb*1e3:.2f} ms → "
-             f"{width*height/tb/1e6:.1f} Mpix/s")
-        result["fwd_bwd_mpixps"] = round(width * height / tb / 1e6, 2)
-    except Exception as e:  # pragma: no cover
-        _log(f"backward bench failed: {e}")
+    def bwd_body(c):
+        return jax.grad(loss)(c) * 1e-30
 
+    tb = time_fn_device(bwd_body, iters=6)
+    _log(f"forward+backward: {tb*1e3:.2f} ms → "
+         f"{width*height/tb/1e6:.1f} Mpix/s")
+    result["fwd_bwd_mpixps"] = round(width * height / tb / 1e6, 2)
+
+    # --- stage timings + roofline ---------------------------------------
     splats = jax.jit(
         lambda c, k: project_gaussians(c, k, width, height, config)
     )(cloud, camera)
+    splats = jax.device_put(splats)
+    bins = jax.jit(
+        lambda s: bin_splats(s, width, height, config, carry_fields=True)
+    )(splats)
+    live_pairs = int(bins.num_pairs)
+    n_slots = int(bins.sorted_slot.shape[0])
+    cap = int(bins.sorted_gidx.shape[0])
+    counts = np.asarray(bins.tile_count)
+    num_tiles = counts.shape[0]
+    chunks = int(np.ceil(np.minimum(counts, config.max_per_tile)
+                         / KC).sum())
+    _log(f"pairs: live={live_pairs} cap={cap} slots={n_slots} "
+         f"tiles={num_tiles} slab_chunks={chunks}")
 
-    sort_fn = jax.jit(
-        lambda c: jnp.sum(
-            bin_splats(
-                dataclasses.replace(splats, depth=splats.depth + c * 1e-30),
-                width, height, config,
-            ).tile_count.astype(jnp.float32)
-        )
-    )
-    ts = max(time_fn(sort_fn, jnp.float32(0.0), iters=8, warmup=2) - floor,
-             1e-6)
+    def sort_body(c):
+        s2 = dataclasses.replace(splats, depth=splats.depth + c * 1e-30)
+        b = bin_splats(s2, width, height, config, carry_fields=True)
+        return jnp.sum(b.tile_count.astype(jnp.float32)) * 1e-30
+
+    ts = time_fn_device(sort_body, iters=6)
     _log(f"bin+sort: {ts*1e3:.2f} ms → {n/ts/1e6:.1f} M splats/s")
     result["sort_msplats_per_s"] = round(n / ts / 1e6, 2)
+
+    _log("roofline (v5e peaks: 819 GB/s HBM, 197 TFLOP/s bf16):")
+    p = config.tile_size ** 2
+    sh_k = cloud.sh.shape[1]
+    # forward = project + bin/sort + composite kernel + assemble
+    passes = math.ceil(math.log2(max(n_slots, 2)))
+    sort_bytes = (
+        n_slots * 4 * 12 * passes      # merge traffic: key+11 payloads
+        + n * 4 * 9 * (config.tier_split and 2 or 1)  # key/field build
+    )
+    rl_sort = _roofline("bin+sort", ts, sort_bytes)
+
+    comp_flops = chunks * (
+        2 * p * 8 * KC * 3        # power bilinear form (bf16x3)
+        + 2 * p * KC * KC * 2     # triangular cumsum (bf16x2)
+        + 2 * p * KC * 4 * 3      # rgba contraction (bf16x3)
+    )
+    comp_vpu = chunks * 20 * p * KC
+    comp_bytes = (
+        chunks * 12 * KC * 4                      # slab DMA
+        + num_tiles * p * 4 * (4 + config.max_per_tile // KC)  # out + carries
+    )
+    # measured composite ≈ forward − (project + bin/sort); project is small
+    proj_bytes = n * 4 * (11 + 3 + 3 + 4 + 1 + 3 * sh_k) + n * 4 * 11
+    t_comp = max(t - ts - proj_bytes / HBM_GBPS, 1e-9)
+    rl_comp = _roofline("composite kernel", t_comp, comp_bytes, comp_flops,
+                        comp_vpu)
+    rl_fwd = _roofline(
+        "forward total", t,
+        sort_bytes + comp_bytes + proj_bytes, comp_flops, comp_vpu)
+
+    # backward adds: bwd kernel (≈2x fwd kernel flops + RMW traffic) + fold
+    bwd_flops = chunks * (
+        2 * p * 8 * KC * 3 + 2 * p * KC * KC * 2 * 2   # power + 2 tri matmuls
+        + 2 * p * KC * 4 * 3 * 2 + 2 * p * 8 * KC * 3  # r/gmat + moments
+    )
+    bwd_bytes = chunks * (12 + 2 * 16) * KC * 4 + num_tiles * p * 4 * 8
+    fold_bytes = (
+        n_slots * 4 * 2 * passes        # invert-permutation sort
+        + n_slots * (32 + 16)           # pair-grad row gathers
+    )
+    rl_bwd = _roofline(
+        "fwd+bwd total", tb,
+        sort_bytes + comp_bytes + proj_bytes + bwd_bytes + fold_bytes,
+        comp_flops + bwd_flops, comp_vpu * 3)
+    result["pct_roofline_forward"] = rl_fwd["pct_roofline"]
+    result["pct_roofline_fwd_bwd"] = rl_bwd["pct_roofline"]
+    del rl_sort, rl_comp
+
+    # --- hardware gradient-parity gate (VERDICT r1 item 5) ---------------
+    if check_grads and jax.default_backend() == "tpu":
+        g = _grad_parity(cloud, camera, width, height, config)
+        ok = g["grad_p99"] <= 1e-2
+        _log(f"grad parity (pallas vs xla, same device): "
+             f"p50={g['grad_p50']:.2e} p99={g['grad_p99']:.2e} "
+             f"max={g['grad_max']:.2e} loss_rel={g['loss_rel']:.2e} "
+             f"gate(p99<=1e-2): {'PASS' if ok else 'FAIL'}")
+        result.update({f"parity_{k}": round(v, 8) for k, v in g.items()})
+        result["parity_gate_ok"] = bool(ok)
 
     if emit_json:
         print(json.dumps({k: result[k] for k in

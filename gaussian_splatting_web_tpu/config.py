@@ -24,23 +24,38 @@ class RenderConfig:
     """
 
     # --- tiling -----------------------------------------------------------
+    # Defaults ARE the benched configuration (VERDICT r1 item 3): what
+    # render()/CLI/viewer ship is exactly what bench.py measures.
     tile_size: int = 16          # pixels per tile side (16x16 = 256 px, 2x128 lanes)
-    max_dup: int = 32            # max tiles a single gaussian may be binned into
+    max_dup: int = 16            # max tiles a single gaussian may be binned into
     tile_chunk: int = 32         # tiles rasterized per lax.map step
     max_per_tile: int = 1024     # per-tile splat list capacity (static shape cap)
-    depth_bits: int = 0          # >0: packed single-key sort keeping this
+    depth_bits: int = 19         # >0: packed single-key sort keeping this
                                  # many depth bits below the tile id (~1.5x
-                                 # faster binning; depth ties may reorder).
-                                 # 0 = exact (tile, f32 depth) two-key sort.
-    tier_split: int = 0          # >0: two-tier duplication — every gaussian
+                                 # faster binning; splats whose depths agree
+                                 # to ~2⁻¹³ relative may reorder — visually
+                                 # indistinguishable, and the compositor is
+                                 # order-exact for whatever order it gets).
+                                 # 0 = exact (tile, f32 depth) two-key sort
+                                 # (oracle-parity mode, used by tests that
+                                 # compare against the NumPy reference).
+    tier_split: int = 4          # >0: two-tier duplication — every gaussian
                                  # gets this many slots, footprints larger
                                  # than it spill to a compact big tier with
                                  # max_dup slots (shrinks the pair array
                                  # ~2x for trained scenes). 0 = single tier.
-    big_frac: float = 1.0 / 16.0  # big-tier capacity as a fraction of N
-    gather_cap_factor: float = 0.0  # >0: truncate the sorted pair array to
+                                 # 4 covers ~99.4% of splats at the 1M bench
+                                 # scene (tools/profile_r2.py histogram).
+    big_frac: float = 1.0 / 64.0  # big-tier capacity as a fraction of N
+                                 # (bench scene needs 6.1k of the 15.6k cap;
+                                 # overflow is graceful + counted)
+    gather_cap_factor: float = 3.0  # >0: truncate the sorted pair array to
                                  # this multiple of N (dead padding sorts
                                  # last, so ≥ live-pair count is lossless)
+    gather_cap_floor: int = 65536  # never cap below this many pairs —
+                                 # factor·N is a trained-scene heuristic;
+                                 # tiny scenes of large splats need more
+                                 # pairs per splat
     tile_cull: bool = False      # exact ellipse–tile-rect overlap test per
                                  # candidate (splat, tile) slot: corner tiles
                                  # of the bounding rect the cutoff level-set

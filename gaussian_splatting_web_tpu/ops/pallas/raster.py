@@ -428,44 +428,45 @@ def _fold_pair_grads(dpairs: jnp.ndarray, bins: TileBins, n: int) -> jnp.ndarray
     """Fold the (tile,depth)-sorted pair gradients [F_PAD, M_pad] onto
     splats → [N, 9] (d_mean2d ×2, d_conic ×3, d_rgb ×3, d_opacity).
 
-    A scatter-add `segment_sum` over 3M unsorted gaussian ids measured
-    242 ms on v5e — the worst op in the whole backward. Instead we invert
-    the binning sort: `bins.sorted_slot` is the full position→slot
-    permutation, so one u32 sort of (slot, position) yields the dense
-    slot→position map, and per-slot gradients land in the original dense
-    [N, dₐ] / [nb_cap, d] slot grids via plain row gathers — the reduction
-    onto splats becomes a static reshape-sum (tier A) plus a tiny
-    segment-sum over the nb_cap compacted big splats (tier B). Dead or
-    cap-truncated slots point at a guaranteed-zero padding row.
+    Measured v5e alternatives at the 1M/1080p bench (tools/profile_r2.py):
+    scatter-add `segment_sum` over unsorted gaussian ids 239 ms; the round-1
+    invert-the-permutation fold (u32 sort of (slot, position) + dense row
+    gathers at 5M slot positions) 65.5 ms — the gathers dominate. Since
+    extra lax.sort payloads are nearly free (17.5 ms at 1 payload → 18.2 ms
+    at 11, same tool), the cheapest fold is to SORT THE GRADIENTS BACK:
+    key = bins.sorted_slot (the position→slot permutation the binning sort
+    recorded), payloads = the 9 gradient rows padded to n_slots. One
+    single-key sort yields gradients in DENSE slot order — every slot
+    exactly once — so the reduction onto splats is a static reshape-sum
+    over the [N, dₐ] tier-A grid plus a tiny segment-sum over the nb_cap
+    compacted big splats (tier B). No gathers anywhere. Pairs truncated by
+    gather_cap_factor carry zero gradient (their slots pad the key array's
+    tail), and lanes the kernel masked dead wrote zeros, so density is
+    exact.
     """
-    m = bins.sorted_gidx.shape[0]          # cap (truncated pair count)
-    m_pad = dpairs.shape[1]
+    cap = bins.sorted_gidx.shape[0]        # truncated pair count
     n_slots = bins.sorted_slot.shape[0]
     d_a = bins.tier_a_width
     d_b = bins.tier_b_width
-    zero_row = m_pad - 1                   # beyond any kernel RMW block
-    assert zero_row >= m + KC, "dpairs padding must cover RMW overhang"
+    pad = n_slots - cap
 
-    pos = jnp.arange(n_slots, dtype=jnp.int32)
-    _, pos_of_slot = jax.lax.sort(
-        (bins.sorted_slot.astype(jnp.uint32), pos), num_keys=1
+    rows = tuple(
+        jnp.concatenate([dpairs[k, :cap], jnp.zeros((pad,), dpairs.dtype)])
+        for k in range(9)
     )
-    pos_of_slot = jnp.minimum(pos_of_slot, zero_row)
-
-    rows8 = dpairs[:8].T                   # [M_pad, 8] first 8 gradient rows
-    rows_op = dpairs[8:12].T               # [M_pad, 4] (d_op in lane 0)
-
-    pos_a = pos_of_slot[: n * d_a]
-    g8 = rows8[pos_a].reshape(n, d_a, 8).sum(axis=1)          # [N, 8]
-    gop = rows_op[pos_a][:, 0].reshape(n, d_a).sum(axis=1)    # [N]
-    seg = jnp.concatenate([g8, gop[:, None]], axis=1)         # [N, 9]
-
+    sorted_back = jax.lax.sort(
+        (bins.sorted_slot.astype(jnp.uint32),) + rows, num_keys=1
+    )[1:]
+    seg = jnp.stack(
+        [r[: n * d_a].reshape(n, d_a).sum(axis=1) for r in sorted_back],
+        axis=1,
+    )                                                          # [N, 9]
     if d_b > 0:
         nb = bins.idx_b.shape[0]
-        pos_b = pos_of_slot[n * d_a:]
-        b8 = rows8[pos_b].reshape(nb, d_b, 8).sum(axis=1)
-        bop = rows_op[pos_b][:, 0].reshape(nb, d_b).sum(axis=1)
-        seg_b = jnp.concatenate([b8, bop[:, None]], axis=1)
+        seg_b = jnp.stack(
+            [r[n * d_a:].reshape(nb, d_b).sum(axis=1) for r in sorted_back],
+            axis=1,
+        )
         seg = seg + jax.ops.segment_sum(seg_b, bins.idx_b, num_segments=n)
     return seg
 

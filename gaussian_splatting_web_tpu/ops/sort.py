@@ -45,17 +45,20 @@ class TileBins:
                   conic_b, conic_c, r, g, b, opacity) already in (tile,
                   depth)-sorted pair order — the splat appearance fields
                   carried through the sort as extra payloads
-                  (carry_fields=True). Measured on v5e at 5M slots, extra
-                  sort payloads are essentially free (1key+3payloads
-                  17.9 ms vs 1key+10payloads 16.8 ms) while the row
-                  gathers they replace cost ~38 ms at 3M pairs — XLA's
+                  (carry_fields=True). Measured on v5e at 5M slots
+                  (tools/profile_r2.py), extra sort payloads are nearly
+                  free (17.5 ms at 1 payload → 18.2 ms at 11) while the
+                  row gathers they replace cost ~24 ms at 3M pairs — XLA's
                   gather is ~5-7 ns/row regardless of index locality.
     sorted_slot:  [n_slots] FULL sort permutation: position → originating
                   slot id (tier A slot g·dₐ+k, tier B slot n·dₐ + j·d + k).
-                  Untruncated so the backward can invert it with a second
-                  sort and fold pair gradients onto splats with dense
-                  reshape-sums instead of a scatter-add segment-sum
-                  (measured 6x faster at 3M pairs on v5e).
+                  Untruncated so the backward can sort the pair gradients
+                  BACK into dense slot order (key = sorted_slot, payloads =
+                  gradient rows) and fold onto splats with static
+                  reshape-sums — no gathers, no scatter-add
+                  (ops.pallas.raster._fold_pair_grads; ~18 ms vs 65 ms for
+                  the round-1 invert+gather fold and 239 ms for segment_sum
+                  at the 1M/1080p bench on v5e, tools/profile_r2.py).
     idx_b:        [nb_cap] tier-B row → gaussian index ([0] if single-tier).
     tier_a_width: static dₐ (slots per gaussian in tier A).
     tier_b_width: static d for tier B rows (0 = single tier).
@@ -178,6 +181,129 @@ def _rect_quad_min(qa, qb, qc, dx0, dx1, dy0, dy1):
     return jnp.where(inside, 0.0, q)
 
 
+def candidate_slot_tiles(x0, y0, rw, ntg, d, gx, num_tiles, ts, rows=None):
+    """Dense slot grid: slot k → k-th tile of the footprint (row-major).
+    Returns (tile [R, d] int32 with `num_tiles` as the dead sentinel,
+    live [R, d] bool).
+
+    With `rows` = (mx, my, A, B, C, τ) per row, each slot additionally
+    passes an EXACT ellipse–tile-rect overlap test (_rect_quad_min):
+    corner tiles of the bounding rect that the cutoff level-set ellipse
+    misses are marked dead and sort to the end with the sentinels —
+    output-exact pair-count reduction (the compositor zeroes
+    alpha < cutoff for every pixel of such tiles)."""
+    slot = jnp.arange(d, dtype=jnp.int32)[None, :]
+    live = slot < ntg[:, None]
+    safe_rw = jnp.maximum(rw, 1)[:, None]
+    ty = y0[:, None] + slot // safe_rw
+    tx = x0[:, None] + slot % safe_rw
+    if rows is not None:
+        mx, my, qa, qb, qc, tau = rows
+        dx0 = tx.astype(jnp.float32) * ts - mx[:, None]
+        dy0 = ty.astype(jnp.float32) * ts - my[:, None]
+        qmin = _rect_quad_min(
+            qa[:, None], qb[:, None], qc[:, None],
+            dx0, dx0 + (ts - 1), dy0, dy0 + (ts - 1),
+        )
+        live = live & (qmin <= tau[:, None] + TAU_SLACK)
+    tile = jnp.where(live, ty * gx + tx, num_tiles)
+    return tile, live
+
+
+def sort_pair_arrays(tiers, field_payloads, num_tiles, n, num_pairs,
+                     overflow, config: RenderConfig):
+    """Sort (tile, depth) pair tiers into per-tile depth-ordered segments.
+
+    `tiers` is a list of (tile_id [R, d] with `num_tiles` sentinel,
+    live [R, d], gidx [R, d], depth [R]) blocks; slot ids are the flat
+    concatenated indices. Implements both key modes (packed single key when
+    config.depth_bits > 0, exact two-key otherwise) and the post-sort
+    gather-cap truncation. Shared by bin_splats and the gaussian-sharded
+    ring path (parallel.gaussian_sharded).
+
+    Returns (sorted_gidx, sorted_slot, sorted_fields, tile_start,
+    tile_count, num_pairs, overflow)."""
+    tile_bits = max(int(num_tiles + 1).bit_length(), 1)
+    depth_bits = min(config.depth_bits, 32 - tile_bits)
+
+    if depth_bits > 0:
+        keys, gidxs = [], []
+        for tile_id, live, gidx, depth in tiers:
+            dkey = float_to_sortable_uint(depth) >> (32 - depth_bits)
+            key = (tile_id.astype(jnp.uint32) << depth_bits) | dkey[:, None]
+            keys.append(
+                jnp.where(live, key, jnp.uint32(0xFFFFFFFF)).reshape(-1))
+            gidxs.append(gidx.reshape(-1))
+        keys = jnp.concatenate(keys)
+        # slot payload: the concatenated flat index IS the slot id (tier A
+        # row-major [n, dₐ], then tier B [nb_cap, d])
+        slot_iota = jnp.arange(keys.shape[0], dtype=jnp.int32)
+        sorted_key, sorted_gidx, sorted_slot, *sorted_fields = jax.lax.sort(
+            (keys, jnp.concatenate(gidxs), slot_iota) + tuple(field_payloads),
+            num_keys=1,
+        )
+        bounds = jnp.arange(num_tiles + 1, dtype=jnp.uint32) << depth_bits
+        edges = jnp.searchsorted(sorted_key, bounds, side="left").astype(
+            jnp.int32
+        )
+        tile_start = edges[:-1]
+        tile_count = edges[1:] - edges[:-1]
+    else:
+        tiles_flat, depths_flat, gidx_flat = [], [], []
+        for tile_id, live, gidx, depth in tiers:
+            rows, dd = tile_id.shape
+            tiles_flat.append(tile_id.astype(jnp.int32).reshape(-1))
+            depths_flat.append(
+                jnp.broadcast_to(depth[:, None], (rows, dd))
+                .astype(jnp.float32).reshape(-1)
+            )
+            gidx_flat.append(gidx.reshape(-1))
+        tiles_cat = jnp.concatenate(tiles_flat)
+        slot_iota = jnp.arange(tiles_cat.shape[0], dtype=jnp.int32)
+        sorted_tile, _, sorted_gidx, sorted_slot, *sorted_fields = jax.lax.sort(
+            (
+                tiles_cat,
+                jnp.concatenate(depths_flat),
+                jnp.concatenate(gidx_flat),
+                slot_iota,
+            ) + tuple(field_payloads),
+            num_keys=2,
+        )
+        tile_range = jnp.arange(num_tiles, dtype=jnp.int32)
+        tile_start = jnp.searchsorted(
+            sorted_tile, tile_range, side="left"
+        ).astype(jnp.int32)
+        tile_end = jnp.searchsorted(
+            sorted_tile, tile_range, side="right"
+        ).astype(jnp.int32)
+        tile_count = tile_end - tile_start
+
+    if config.gather_cap_factor > 0:
+        # Dead (sentinel-key) pairs sort to the end, so truncating the
+        # sorted pair array to cap = factor·N costs nothing while
+        # cap ≥ live pairs — and everything downstream (the sorted-field
+        # gather, backward pair-gradient array, fold) shrinks with it. If
+        # a scene exceeds the cap, the farthest tiles lose their deepest
+        # splats (counted in overflow).
+        m_total = sorted_gidx.shape[0]
+        # floor: factor·N is a trained-scene heuristic (pairs ≈ 2-3·N); a
+        # tiny scene of large splats can legitimately need far more pairs
+        # per splat, so never cap below gather_cap_floor pairs
+        cap = min(m_total, max(int(n * config.gather_cap_factor),
+                               config.gather_cap_floor))
+        sorted_gidx = sorted_gidx[:cap]
+        sorted_fields = [f[:cap] for f in sorted_fields]
+        tile_count = jnp.minimum(
+            tile_count, jnp.maximum(cap - tile_start, 0)
+        )
+        tile_start = jnp.minimum(tile_start, cap)  # keep slab reads in bounds
+        overflow = overflow + jnp.maximum(num_pairs - cap, 0)
+        num_pairs = jnp.minimum(num_pairs, cap)
+
+    return (sorted_gidx, sorted_slot, sorted_fields, tile_start, tile_count,
+            num_pairs, overflow)
+
+
 def bin_splats(
     splats: ProjectedSplats,
     width: int,
@@ -219,30 +345,9 @@ def bin_splats(
     exact_tile_test = config.radius_sigma <= 0 and config.tile_cull
 
     def slot_tiles(x0, y0, rw, ntg, d, rows=None):
-        """Dense slot grid: slot k → k-th tile of the footprint (row-major).
-
-        With `rows` = (mx, my, A, B, C, τ) per row, each slot additionally
-        passes an EXACT ellipse–tile-rect overlap test (_rect_quad_min):
-        corner tiles of the bounding rect that the cutoff level-set ellipse
-        misses are marked dead and sort to the end with the sentinels —
-        output-exact pair-count reduction (the compositor zeroes
-        alpha < cutoff for every pixel of such tiles)."""
-        slot = jnp.arange(d, dtype=jnp.int32)[None, :]
-        live = slot < ntg[:, None]
-        safe_rw = jnp.maximum(rw, 1)[:, None]
-        ty = y0[:, None] + slot // safe_rw
-        tx = x0[:, None] + slot % safe_rw
-        if rows is not None:
-            mx, my, qa, qb, qc, tau = rows
-            dx0 = tx.astype(jnp.float32) * ts - mx[:, None]
-            dy0 = ty.astype(jnp.float32) * ts - my[:, None]
-            qmin = _rect_quad_min(
-                qa[:, None], qb[:, None], qc[:, None],
-                dx0, dx0 + (ts - 1), dy0, dy0 + (ts - 1),
-            )
-            live = live & (qmin <= tau[:, None] + TAU_SLACK)
-        tile = jnp.where(live, ty * gx + tx, num_tiles)
-        return tile, live
+        return candidate_slot_tiles(
+            x0, y0, rw, ntg, d, gx, num_tiles, ts, rows=rows
+        )
 
     if exact_tile_test:
         rows_all = (
@@ -328,77 +433,9 @@ def bin_splats(
         tier_a_width, tier_b_width = d, 0
         idx_b = jnp.zeros((0,), jnp.int32)
 
-    tile_bits = max(int(num_tiles + 1).bit_length(), 1)
-    depth_bits = min(config.depth_bits, 32 - tile_bits)
-
-    if depth_bits > 0:
-        keys, gidxs = [], []
-        for tile_id, live, gidx, depth in tiers:
-            dkey = float_to_sortable_uint(depth) >> (32 - depth_bits)
-            key = (tile_id.astype(jnp.uint32) << depth_bits) | dkey[:, None]
-            keys.append(jnp.where(live, key, jnp.uint32(0xFFFFFFFF)).reshape(-1))
-            gidxs.append(gidx.reshape(-1))
-        keys = jnp.concatenate(keys)
-        # slot payload: the concatenated flat index IS the slot id (tier A
-        # row-major [n, dₐ], then tier B [nb_cap, d])
-        slot_iota = jnp.arange(keys.shape[0], dtype=jnp.int32)
-        sorted_key, sorted_gidx, sorted_slot, *sorted_fields = jax.lax.sort(
-            (keys, jnp.concatenate(gidxs), slot_iota) + field_payloads,
-            num_keys=1,
-        )
-        bounds = jnp.arange(num_tiles + 1, dtype=jnp.uint32) << depth_bits
-        edges = jnp.searchsorted(sorted_key, bounds, side="left").astype(
-            jnp.int32
-        )
-        tile_start = edges[:-1]
-        tile_count = edges[1:] - edges[:-1]
-    else:
-        tiles_flat, depths_flat, gidx_flat = [], [], []
-        for tile_id, live, gidx, depth in tiers:
-            rows, dd = tile_id.shape
-            tiles_flat.append(tile_id.astype(jnp.int32).reshape(-1))
-            depths_flat.append(
-                jnp.broadcast_to(depth[:, None], (rows, dd))
-                .astype(jnp.float32).reshape(-1)
-            )
-            gidx_flat.append(gidx.reshape(-1))
-        tiles_cat = jnp.concatenate(tiles_flat)
-        slot_iota = jnp.arange(tiles_cat.shape[0], dtype=jnp.int32)
-        sorted_tile, _, sorted_gidx, sorted_slot, *sorted_fields = jax.lax.sort(
-            (
-                tiles_cat,
-                jnp.concatenate(depths_flat),
-                jnp.concatenate(gidx_flat),
-                slot_iota,
-            ) + field_payloads,
-            num_keys=2,
-        )
-        tile_range = jnp.arange(num_tiles, dtype=jnp.int32)
-        tile_start = jnp.searchsorted(
-            sorted_tile, tile_range, side="left"
-        ).astype(jnp.int32)
-        tile_end = jnp.searchsorted(
-            sorted_tile, tile_range, side="right"
-        ).astype(jnp.int32)
-        tile_count = tile_end - tile_start
-
-    if config.gather_cap_factor > 0:
-        # Dead (sentinel-key) pairs sort to the end, so truncating the
-        # sorted pair array to cap = factor·N costs nothing while
-        # cap ≥ live pairs — and everything downstream (the sorted-field
-        # gather, backward pair-gradient array, segment-sum) shrinks with
-        # it. If a scene exceeds the cap, the farthest tiles lose their
-        # deepest splats (counted in overflow).
-        m_total = sorted_gidx.shape[0]
-        cap = min(m_total, int(n * config.gather_cap_factor))
-        sorted_gidx = sorted_gidx[:cap]
-        sorted_fields = [f[:cap] for f in sorted_fields]
-        tile_count = jnp.minimum(
-            tile_count, jnp.maximum(cap - tile_start, 0)
-        )
-        tile_start = jnp.minimum(tile_start, cap)  # keep slab reads in bounds
-        overflow = overflow + jnp.maximum(num_pairs - cap, 0)
-        num_pairs = jnp.minimum(num_pairs, cap)
+    (sorted_gidx, sorted_slot, sorted_fields, tile_start, tile_count,
+     num_pairs, overflow) = sort_pair_arrays(
+        tiers, field_payloads, num_tiles, n, num_pairs, overflow, config)
 
     return TileBins(
         sorted_gidx=sorted_gidx,

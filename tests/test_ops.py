@@ -126,7 +126,7 @@ def test_depth_sort_indices():
 
 def test_bin_splats_segments_sorted_by_depth():
     cloud, camera, w, h = _setup(n=80)
-    cfg = RenderConfig(max_dup=64)
+    cfg = RenderConfig(max_dup=64, depth_bits=0)  # exact two-key mode
     s = project_gaussians(cloud, camera, w, h, cfg)
     bins = bin_splats(s, w, h, cfg)
     start = np.asarray(bins.tile_start)
@@ -164,7 +164,8 @@ def test_bin_splats_overflow_counted():
     cloud.opacity_logit = np.full((1,), 5.0, dtype=np.float32)
     w = h = 256
     camera = cam.default_camera(w, h, eye=(0, 0, -4))
-    cfg = RenderConfig(max_dup=4)
+    # gather_cap off: this test counts only footprint truncation
+    cfg = RenderConfig(max_dup=4, gather_cap_factor=0.0)
     s = project_gaussians(cloud, camera, w, h, cfg)
     bins = bin_splats(s, w, h, cfg)
     assert int(bins.overflow) == 1
@@ -237,7 +238,7 @@ def test_bin_splats_two_tier_big_overflow_counted():
 def test_bin_splats_gather_cap_lossless_when_sufficient():
     cloud, camera, w, h = _setup(n=80)
     from gaussian_splatting_web_tpu.ops.projection import project_gaussians as pg
-    cfg0 = RenderConfig(max_dup=64, depth_bits=0)
+    cfg0 = RenderConfig(max_dup=64, depth_bits=0, gather_cap_factor=0.0)
     cfg1 = RenderConfig(max_dup=64, depth_bits=0, gather_cap_factor=64.0)
     s = pg(cloud, camera, w, h, cfg0)
     b0 = bin_splats(s, w, h, cfg0)
@@ -253,7 +254,8 @@ def test_bin_splats_gather_cap_lossless_when_sufficient():
 def test_bin_splats_gather_cap_truncates_gracefully():
     cloud, camera, w, h = _setup(n=80)
     from gaussian_splatting_web_tpu.ops.projection import project_gaussians as pg
-    cfg = RenderConfig(max_dup=64, gather_cap_factor=0.05)  # absurdly small
+    cfg = RenderConfig(max_dup=64, gather_cap_factor=0.05,
+                       gather_cap_floor=8)  # absurdly small
     s = pg(cloud, camera, w, h, cfg)
     b = bin_splats(s, w, h, cfg)
     start, count = np.asarray(b.tile_start), np.asarray(b.tile_count)
@@ -332,3 +334,27 @@ def test_tile_cull_output_exact_two_tier():
     np.testing.assert_allclose(
         np.asarray(img0), np.asarray(img1), rtol=0, atol=1e-6
     )
+
+
+def test_default_depth_bits_order_quantized_monotone():
+    """Under the shipped default (depth_bits>0) each tile's segment is
+    non-decreasing in the QUANTIZED depth key — ties may reorder, nothing
+    else (sort.py bin_splats docstring)."""
+    from gaussian_splatting_web_tpu.ops.sort import float_to_sortable_uint
+
+    cloud, camera, w, h = _setup(n=80)
+    cfg = RenderConfig(max_dup=64)
+    assert cfg.depth_bits > 0  # shipped default is the packed single key
+    s = project_gaussians(cloud, camera, w, h, cfg)
+    bins = bin_splats(s, w, h, cfg)
+    start = np.asarray(bins.tile_start)
+    count = np.asarray(bins.tile_count)
+    gidx = np.asarray(bins.sorted_gidx)
+    gx, gy = cfg.grid_size(w, h)
+    num_tiles = gx * gy
+    tile_bits = max(int(num_tiles + 1).bit_length(), 1)
+    depth_bits = min(cfg.depth_bits, 32 - tile_bits)
+    qkey = np.asarray(float_to_sortable_uint(s.depth)) >> (32 - depth_bits)
+    for t in range(num_tiles):
+        seg = gidx[start[t]: start[t] + count[t]]
+        assert np.all(np.diff(qkey[seg].astype(np.int64)) >= 0)
