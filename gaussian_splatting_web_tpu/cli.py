@@ -35,7 +35,11 @@ def _load(args):
     print(f"\rloaded {cloud.num_gaussians} gaussians "
           f"(SH degree {cloud.sh_degree}) in {time.time()-t0:.2f}s",
           file=sys.stderr)
-    return jax.device_put(cloud)
+    cloud = jax.device_put(cloud)
+    dtype = getattr(args, "dtype", None)
+    if dtype:
+        cloud = cloud.with_storage_dtype(dtype)
+    return cloud
 
 
 def _config(args):
@@ -43,7 +47,7 @@ def _config(args):
 
     kw = {}
     for f in ("tile_size", "max_dup", "max_per_tile", "tile_chunk",
-              "depth_bits"):
+              "depth_bits", "dtype"):
         v = getattr(args, f, None)
         if v is not None:
             kw[f] = v
@@ -208,6 +212,9 @@ def main(argv=None):
         sp.add_argument("--max-dup", dest="max_dup", type=int)
         sp.add_argument("--max-per-tile", dest="max_per_tile", type=int)
         sp.add_argument("--tile-chunk", dest="tile_chunk", type=int)
+        sp.add_argument("--dtype", choices=("float32", "bfloat16"),
+                        help="scene storage dtype (bfloat16 ~halves scene "
+                             "memory; positions stay f32)")
         sp.add_argument("--depth-bits", dest="depth_bits", type=int,
                         help="packed sort depth bits (0 = exact sort)")
 

@@ -91,8 +91,12 @@ class RenderConfig:
     post_alpha_knee: float = 0.99
 
     # --- precision --------------------------------------------------------
-    # 'float32' everywhere for parity with the reference; 'bfloat16' enables
-    # bf16 storage with f32 accumulation in the compositor.
+    # Scene STORAGE dtype (GaussianCloud.with_storage_dtype): 'float32' for
+    # bit-parity with the reference; 'bfloat16' stores SH/scale/quat/opacity
+    # in bf16 (positions stay f32) — scene memory ≈ halves, compute still
+    # decodes to f32 (projection.py casts at use). The compositor kernels'
+    # internal precision policy is independent and fixed: bf16x2/x3 MXU
+    # passes with f32 accumulation (ops/pallas/raster.py).
     dtype: str = "float32"
 
     # --- kernel selection -------------------------------------------------

@@ -70,6 +70,36 @@ class GaussianCloud:
             sh=self.sh.astype(dtype),
         )
 
+    def with_storage_dtype(self, dtype: str) -> "GaussianCloud":
+        """Apply the RenderConfig.dtype storage policy.
+
+        'bfloat16' stores the SH coefficients, log-scales, quaternions and
+        opacity logits in bf16 — SH alone is 48 of the 59 floats per
+        degree-3 gaussian, so scene memory nearly halves and per-chip
+        scene capacity nearly doubles. Positions stay float32: a bf16
+        mantissa (8 bits) would move splat centers by whole pixels at
+        screen scale, while bf16 on the other fields perturbs alpha/color
+        by ~0.4% relative (validated vs f32 in
+        tests/test_rasterize.py::test_bfloat16_storage_close_to_f32).
+        Compute is unaffected — projection decodes every field to f32
+        (projection.py casts at use), matching the "bf16 storage, f32
+        accumulate" policy of SURVEY §7.
+        """
+        import jax.numpy as jnp
+
+        if dtype in ("float32", "f32"):
+            return self
+        if dtype not in ("bfloat16", "bf16"):
+            raise ValueError(f"unsupported storage dtype {dtype!r}")
+        bf = jnp.bfloat16
+        return GaussianCloud(
+            xyz=self.xyz,                                # f32: pixel accuracy
+            log_scale=self.log_scale.astype(bf),
+            quat=self.quat.astype(bf),
+            opacity_logit=self.opacity_logit.astype(bf),
+            sh=self.sh.astype(bf),
+        )
+
     def bbox(self):
         """(min, max) scene bounding box (ref: src/ply.ts:276-285)."""
         return jnp.min(self.xyz, axis=0), jnp.max(self.xyz, axis=0)

@@ -20,6 +20,12 @@ def l1_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(jnp.abs(pred - target))
 
 
+def psnr(pred, target) -> float:
+    """Peak signal-to-noise ratio in dB for [0,1] images."""
+    mse = float(np.mean((np.asarray(pred) - np.asarray(target)) ** 2))
+    return 10.0 * float(np.log10(1.0 / max(mse, 1e-10)))
+
+
 def _gaussian_window(size: int = 11, sigma: float = 1.5) -> np.ndarray:
     x = np.arange(size) - size // 2
     g = np.exp(-(x**2) / (2 * sigma**2))

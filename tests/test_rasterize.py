@@ -139,3 +139,21 @@ def test_default_config_quality_vs_exact_sort():
     assert int(aux["overflow"]) == 0
     assert_images_close(np.asarray(img_default), np.asarray(img_exact),
                         atol=2e-4, max_bad_frac=5e-3)
+
+
+def test_bfloat16_storage_close_to_f32():
+    """config.dtype='bfloat16' scene storage (SH/scale/quat/opacity in bf16,
+    positions f32; GaussianCloud.with_storage_dtype) renders within ~1% of
+    the f32 scene — the SURVEY §7 'bf16 storage, f32 accumulate' policy."""
+    cloud = make_random_cloud(64, seed=3, sh_degree=2)
+    w, h = 96, 64
+    camera = _orbit(w, h)
+    img_f32, _ = render(cloud, camera, w, h, CFG)
+    import jax
+    cloud_bf = jax.device_put(cloud).with_storage_dtype("bfloat16")
+    assert cloud_bf.sh.dtype.name == "bfloat16"
+    assert cloud_bf.xyz.dtype.name == "float32"
+    img_bf, _ = render(cloud_bf, camera, w, h, CFG)
+    diff = np.abs(np.asarray(img_bf) - np.asarray(img_f32))
+    assert diff.mean() < 5e-3
+    assert np.percentile(diff, 99) < 0.05

@@ -1,0 +1,130 @@
+"""Training-quality benchmark (VERDICT r1 item 6): train from random init
+on a reproducible synthetic multi-view capture, record the PSNR curve, and
+write the artifact to train_bench.json.
+
+The scene: a ground-truth random cloud rendered from `n_views` orbit
+cameras (targets), plus one held-out camera for eval. Training starts from
+an unrelated random cloud with densification enabled — the full INRIA
+recipe (clone/split/prune, opacity reset, progressive SH) under the
+fixed-capacity arena. Not part of the library API.
+
+Usage: python tools/train_bench.py [--iters 600] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=600)
+    ap.add_argument("--width", type=int, default=96)
+    ap.add_argument("--height", type=int, default=72)
+    ap.add_argument("--views", type=int, default=8)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", default="train_bench.json")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from gaussian_splatting_web_tpu.config import RenderConfig
+    from gaussian_splatting_web_tpu.core import camera as cam
+    from gaussian_splatting_web_tpu.io.dataset import View
+    from gaussian_splatting_web_tpu.models.gaussian_model import GaussianModel
+    from gaussian_splatting_web_tpu.ops.rasterize import render
+    from gaussian_splatting_web_tpu.train.densify import compact
+    from gaussian_splatting_web_tpu.train.loss import psnr
+    from gaussian_splatting_web_tpu.train.train_loop import (
+        TrainLoopConfig, train,
+    )
+    from gaussian_splatting_web_tpu.utils.metrics import enable_compile_cache
+    from tests.conftest import make_random_cloud
+
+    enable_compile_cache()
+    w, h = args.width, args.height
+    cfg = RenderConfig(max_dup=32, max_per_tile=128, tile_chunk=8)
+
+    target_cloud = make_random_cloud(96, seed=7, sh_degree=1, spread=1.2)
+
+    def camera_at(angle, y=0.4):
+        eye = (4.0 * np.sin(angle), y, -4.0 * np.cos(angle))
+        return cam.default_camera(w, h, eye=eye, center=(0, 0, 0))
+
+    views = []
+    for i in range(args.views):
+        camera = camera_at(i * 2 * np.pi / args.views)
+        img, _ = render(target_cloud, camera, w, h, cfg)
+        views.append(View(camera=camera, image=np.asarray(img), name=f"v{i}"))
+    held_out_cam = camera_at(np.pi / args.views + 0.13, y=0.6)
+    held_out_img, _ = render(target_cloud, held_out_cam, w, h, cfg)
+
+    start = GaussianModel.from_cloud(
+        make_random_cloud(96, seed=99, sh_degree=1, spread=1.2)
+    )
+
+    t0 = time.time()
+    loop = TrainLoopConfig(
+        iterations=args.iters,
+        densify_from=100, densify_until=args.iters - 100, densify_every=100,
+        opacity_reset_every=10_000, sh_upgrade_every=200,
+        capacity_factor=4.0, log_every=50,
+    )
+
+    # run the full loop; the loss curve is recorded during training and
+    # PSNR evaluated on the final model
+    losses = []
+
+    def on_log(it, loss, alive):
+        losses.append(
+            {"iter": it, "loss": round(float(loss), 5), "alive": alive})
+        print(f"iter {it:5d} loss {loss:.4f} alive {alive}",
+              file=sys.stderr, flush=True)
+
+    state, dstate = train(
+        start, views, w, h, render_config=cfg, loop=loop, on_log=on_log)
+    wall = time.time() - t0
+
+    final = compact(state.params, dstate)
+    img, _ = render(final.to_cloud(), held_out_cam, w, h, cfg)
+    final_psnr = psnr(img, held_out_img)
+    train_psnrs = []
+    for v in views:
+        img, _ = render(final.to_cloud(), v.camera, w, h, cfg)
+        train_psnrs.append(psnr(img, v.image))
+
+    # PSNR of the init model for reference
+    img0, _ = render(start.to_cloud(), held_out_cam, w, h, cfg)
+    init_psnr = psnr(img0, held_out_img)
+
+    out = {
+        "iters": args.iters,
+        "resolution": [w, h],
+        "views": args.views,
+        "seconds": round(wall, 1),
+        "init_psnr_heldout": round(init_psnr, 2),
+        "final_psnr_heldout": round(final_psnr, 2),
+        "final_psnr_train_mean": round(float(np.mean(train_psnrs)), 2),
+        "final_gaussians": final.num_gaussians,
+        "loss_curve": losses,
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: out[k] for k in
+                      ("init_psnr_heldout", "final_psnr_heldout",
+                       "final_psnr_train_mean", "final_gaussians",
+                       "seconds")}))
+
+
+if __name__ == "__main__":
+    main()
