@@ -107,17 +107,26 @@ def _dot_general_bf16x3(x, y, dims):
     return dg(hx, hy) + dg(hx, ly) + dg(lx, hy)
 
 
+R_TILES = 4       # pixel tiles composited per grid step. At 1080p there are
+                  # 8160 tiles but the mean tile has ~1 slab chunk, so the
+                  # kernel is dominated by per-grid-step fixed cost
+                  # (prologue, exposed first-chunk DMA latency); batching R
+                  # adjacent tiles amortizes it and stacks their pixel rows
+                  # into one [R·P, KC] cumsum matmul. Adjacent tiles have
+                  # correlated slab lengths, bounding the masked overwork.
+
+
 def _kernel(
     starts_ref,            # SMEM [T] int32 (scalar prefetch)
     counts_ref,            # SMEM [T] int32 (scalar prefetch)
-    tiles_ref,             # SMEM [G] int32 (scalar prefetch): grid→tile id
+    tiles_ref,             # SMEM [G_pad] int32 (scalar prefetch): grid→tile
     f8_hbm,                # ANY [8, M_pad] f32 (mx,my,ca,cb,cc,r,g,b; sorted)
     f4_hbm,                # ANY [4, M_pad] f32 (opacity,0,0,0; sorted)
-    out_ref,               # VMEM [P, 4] f32
-    carr_ref,              # VMEM [P, MAXC] f32 out: start-of-chunk log T
-    slab8_ref,             # VMEM scratch [2, 8, KC]
-    slab4_ref,             # VMEM scratch [2, 4, KC]
-    sem_ref,               # DMA semaphores (2, 2)
+    out_ref,               # VMEM [R, P, 4] f32
+    carr_ref,              # VMEM [R, P, MAXC] f32 out: start-of-chunk log T
+    slab8_ref,             # VMEM scratch [2, R, 8, KC]
+    slab4_ref,             # VMEM scratch [2, R, 4, KC]
+    sem_ref,               # DMA semaphores (2, R, 2)
     *,
     gx: int,
     tile_size: int,
@@ -125,22 +134,36 @@ def _kernel(
     alpha_cutoff: float,
     alpha_max: float,
     log_eps: float,
+    r_tiles: int,
 ):
-    t = tiles_ref[pl.program_id(0)]
     p = tile_size * tile_size
+    R = r_tiles
+    g0 = pl.program_id(0) * R
 
-    start = starts_ref[t]
-    count = jnp.minimum(counts_ref[t], k_cap)
-    # DMA offsets must be 128-lane aligned for Mosaic: stream from the
-    # aligned base at or before `start` and mask the leading lanes that
-    # belong to the previous tile's segment.
-    base = (start // KC) * KC
-    lead = start - base
-    total = lead + count
-    n_chunks = jnp.where(count > 0, pl.cdiv(total, KC), 0)
+    # per-tile scalars; every tile in the group walks the slab in lockstep
+    # to the group max chunk count (masks zero the out-of-segment lanes)
+    ts_f = float(tile_size)
+    bases, leads, totals, n_chunks_r, txs, tys = [], [], [], [], [], []
+    for r in range(R):
+        t = tiles_ref[g0 + r]
+        start = starts_ref[t]
+        count = jnp.minimum(counts_ref[t], k_cap)
+        # DMA offsets must be 128-lane aligned for Mosaic: stream from the
+        # aligned base at or before `start` and mask the leading lanes that
+        # belong to the previous tile's segment.
+        base = (start // KC) * KC
+        lead = start - base
+        total = lead + count
+        bases.append(base)
+        leads.append(lead)
+        totals.append(total)
+        n_chunks_r.append(jnp.where(count > 0, pl.cdiv(total, KC), 0))
+        txs.append((t % gx).astype(jnp.float32) * ts_f)
+        tys.append((t // gx).astype(jnp.float32) * ts_f)
+    max_chunks = n_chunks_r[0]
+    for r in range(1, R):
+        max_chunks = jnp.maximum(max_chunks, n_chunks_r[r])
 
-    tx = (t % gx).astype(jnp.float32)
-    ty = (t // gx).astype(jnp.float32)
     # tile-LOCAL pixel coordinates: the Gaussian quadratic is evaluated as a
     # rank-6 bilinear form on the MXU (see chunk_body); local coordinates
     # keep every term O(splat extent), so the f32 matmul cancellation error
@@ -156,132 +179,159 @@ def _kernel(
         axis=1,
     )                                   # [P, 8]
 
-    # lane-axis inclusive cumsum as an MXU matmul (no native cumsum)
+    # lane-axis inclusive cumsum as an MXU matmul (no native cumsum);
+    # shared across the R stacked tiles — rows scan independently
     tri = (
         jax.lax.broadcasted_iota(jnp.int32, (KC, KC), 0)
         <= jax.lax.broadcasted_iota(jnp.int32, (KC, KC), 1)
     ).astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, KC), 1)
 
-    def dma8(slot, c):
-        off = pl.multiple_of(base + c * KC, KC)
+    # [R·P, 1] per-row segment windows (tile r occupies rows r·P..(r+1)·P)
+    def stack_scalar(vals, dtype):
+        col = jnp.stack([v.astype(dtype) for v in vals]).reshape(R, 1, 1)
+        return jnp.broadcast_to(col, (R, p, 1)).reshape(R * p, 1)
+
+    lead_col = stack_scalar(leads, jnp.int32)
+    total_col = stack_scalar(totals, jnp.int32)
+
+    def dma8(slot, r, c):
+        off = pl.multiple_of(bases[r] + c * KC, KC)
         return pltpu.make_async_copy(
             f8_hbm.at[:, pl.ds(off, KC)],
-            slab8_ref.at[slot],
-            sem_ref.at[slot, 0],
+            slab8_ref.at[slot, r],
+            sem_ref.at[slot, r, 0],
         )
 
-    def dma4(slot, c):
-        off = pl.multiple_of(base + c * KC, KC)
+    def dma4(slot, r, c):
+        off = pl.multiple_of(bases[r] + c * KC, KC)
         return pltpu.make_async_copy(
             f4_hbm.at[:, pl.ds(off, KC)],
-            slab4_ref.at[slot],
-            sem_ref.at[slot, 1],
+            slab4_ref.at[slot, r],
+            sem_ref.at[slot, r, 1],
         )
 
     def dma_start(slot, c):
-        dma8(slot, c).start()
-        dma4(slot, c).start()
+        for r in range(R):
+            dma8(slot, r, c).start()
+            dma4(slot, r, c).start()
 
     def dma_wait(slot, c):
-        dma8(slot, c).wait()
-        dma4(slot, c).wait()
+        for r in range(R):
+            dma8(slot, r, c).wait()
+            dma4(slot, r, c).wait()
 
-    @pl.when(n_chunks > 0)
+    @pl.when(max_chunks > 0)
     def _():
         dma_start(0, 0)
 
-    maxc = carr_ref.shape[1]
+    maxc = carr_ref.shape[2]
 
     def chunk_body(state):
-        c, carry, acc4 = state
+        c, carry, acc4 = state            # carry [R·P, 1], acc4 [R·P, 4]
 
         # record start-of-chunk transmittance for the backward sweep;
         # single-lane stores need static offsets → switch over the (small,
         # static) chunk index
         def _store(ci):
             def f():
-                carr_ref[:, ci : ci + 1] = carry
+                carr_ref[:, :, ci : ci + 1] = carry.reshape(R, p, 1)
             return f
 
-        jax.lax.switch(jnp.minimum(c, maxc - 1), [_store(i) for i in range(maxc)])
+        jax.lax.switch(jnp.minimum(c, maxc - 1),
+                       [_store(i) for i in range(maxc)])
 
-        @pl.when(c + 1 < n_chunks)
+        @pl.when(c + 1 < max_chunks)
         def _():
             dma_start((c + 1) % 2, c + 1)
 
         dma_wait(c % 2, c)
-        slab = slab8_ref[c % 2]           # [8, KC]
 
-        mx = slab[0:1, :] - tx * tile_size   # tile-local splat center
-        my = slab[1:2, :] - ty * tile_size
-        ca = slab[2:3, :]
-        cb = slab[3:4, :]
-        cc = slab[4:5, :]
-        op = slab4_ref[c % 2][0:1, :]
+        # Gaussian falloff as one MXU matmul per tile: power(px,py) is
+        # quadratic in the pixel coordinates, so power = U[P,8] @ V[8,KC]
+        # with V = [-(½A mx²+B mx my+½C my²); A mx+B my; C my+B mx; -½A;
+        # -½C; -B]; the R results stack along sublanes → [R·P, KC]
+        powers = []
+        f4s = []
+        for r in range(R):
+            slab = slab8_ref[c % 2, r]    # [8, KC]
+            mx = slab[0:1, :] - txs[r]    # tile-local splat center
+            my = slab[1:2, :] - tys[r]
+            ca = slab[2:3, :]
+            cb = slab[3:4, :]
+            cc = slab[4:5, :]
+            v_mat = jnp.concatenate(
+                [
+                    -(0.5 * ca * mx * mx + cb * mx * my
+                      + 0.5 * cc * my * my),
+                    ca * mx + cb * my,
+                    cc * my + cb * mx,
+                    -0.5 * ca,
+                    -0.5 * cc,
+                    -cb,
+                    jnp.zeros((2, KC), jnp.float32),
+                ],
+                axis=0,
+            )                              # [8, KC]
+            # u_mat entries are small integers (exact in bf16)
+            powers.append(_dot_exact_bf16x3(u_mat, v_mat))
+            f4s.append(jnp.concatenate(
+                [slab[5:8, :], jnp.ones((1, KC), jnp.float32)], axis=0
+            ))                             # rows (r, g, b, 1)
+        power = jnp.concatenate(powers, axis=0)          # [R·P, KC]
+        op = jnp.concatenate(
+            [jnp.broadcast_to(slab4_ref[c % 2, r][0:1, :], (p, KC))
+             for r in range(R)], axis=0)                 # [R·P, KC]
 
-        # Gaussian falloff as one MXU matmul: power(px,py) is quadratic in
-        # the pixel coordinates, so power = U[P,8] @ V[8,KC] with
-        # V = [-(½A mx²+B mx my+½C my²); A mx+B my; C my+B mx; -½A; -½C; -B]
-        v_mat = jnp.concatenate(
-            [
-                -(0.5 * ca * mx * mx + cb * mx * my + 0.5 * cc * my * my),
-                ca * mx + cb * my,
-                cc * my + cb * mx,
-                -0.5 * ca,
-                -0.5 * cc,
-                -cb,
-                jnp.zeros((2, KC), jnp.float32),
-            ],
-            axis=0,
-        )                                  # [8, KC]
-        # u_mat entries are small integers (exact in bf16) → 2-pass matmul
-        power = _dot_exact_bf16x3(u_mat, v_mat)
         power = jnp.minimum(power, 0.0)
         alpha = jnp.minimum(op * jnp.exp(power), alpha_max)
         alpha = jnp.where(alpha < alpha_cutoff, 0.0, alpha)
-        # lanes outside this tile's [lead, lead+count) segment window
-        # contribute nothing
-        g = c * KC + lane
-        alpha = jnp.where(jnp.logical_and(g >= lead, g < total), alpha, 0.0)
+        # lanes outside each tile's [lead, lead+count) segment window
+        # contribute nothing — this also masks chunks past a short tile's
+        # segment while the group runs to the group max
+        g = c * KC + lane                                # [1, KC]
+        alpha = jnp.where(
+            jnp.logical_and(g >= lead_col, g < total_col), alpha, 0.0)
 
         log1m = jnp.log1p(-alpha)
-        cum = _dot_bf16x2(log1m, tri)
+        cum = _dot_bf16x2(log1m, tri)                    # [R·P, KC]
         log_t_incl = carry + cum          # monotone ↓ along lanes
         t_excl = jnp.exp(log_t_incl - log1m)
         w = jnp.where(log_t_incl < log_eps, 0.0, alpha * t_excl)
 
-        # color/alpha accumulation as one [P,KC]x[KC→4] contraction (MXU):
-        # rows of F4 are (r, g, b, 1)
-        f4 = jnp.concatenate(
-            [slab[5:8, :], jnp.ones((1, KC), jnp.float32)], axis=0
-        )                                  # [4, KC]
-        acc4 = acc4 + _dot_general_bf16x3(
-            w, f4, (((1,), (1,)), ((), ()))
-        )                                  # [P, 4]
+        # color/alpha accumulation: per tile one [P,KC]×[KC,4] contraction
+        acc4 = acc4 + jnp.concatenate(
+            [
+                _dot_general_bf16x3(
+                    w[r * p:(r + 1) * p], f4s[r], (((1,), (1,)), ((), ()))
+                )
+                for r in range(R)
+            ],
+            axis=0,
+        )                                  # [R·P, 4]
         carry = carry + cum[:, KC - 1 : KC]
         return c + 1, carry, acc4
 
     def chunk_cond(state):
         c, carry, *_ = state
-        return jnp.logical_and(c < n_chunks, jnp.max(carry) >= log_eps)
+        return jnp.logical_and(c < max_chunks, jnp.max(carry) >= log_eps)
 
     init = (
         jnp.int32(0),
-        jnp.zeros((p, 1), jnp.float32),
-        jnp.zeros((p, 4), jnp.float32),
+        jnp.zeros((R * p, 1), jnp.float32),
+        jnp.zeros((R * p, 4), jnp.float32),
     )
     c_final, _, acc4 = jax.lax.while_loop(chunk_cond, chunk_body, init)
 
     # drain the in-flight prefetch if the loop exited early
-    @pl.when(c_final < n_chunks)
+    @pl.when(c_final < max_chunks)
     def _():
         dma_wait(c_final % 2, c_final)
 
-    out_ref[:, :] = acc4
+    out_ref[:, :, :] = acc4.reshape(R, p, 4)
     # unprocessed chunks get a -inf-like sentinel (skipped by backward)
-    lane_c = jax.lax.broadcasted_iota(jnp.int32, (p, maxc), 1)
-    carr_ref[:, :] = jnp.where(lane_c < c_final, carr_ref[:, :], -1e30)
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (R, p, maxc), 2)
+    carr_ref[:, :, :] = jnp.where(lane_c < c_final, carr_ref[:, :, :], -1e30)
 
 
 def _sorted_fields_t(
@@ -339,6 +389,22 @@ def composite_tiles_pallas(
     if fields_t is None:
         fields_t = _sorted_fields_t(splats, bins, k_cap)
 
+    # R tiles per grid step; pad the tile list with the sentinel id
+    # num_tiles, whose start/count lookup row is 0 (empty segment) — padding
+    # rows compute nothing and are sliced away below
+    r = min(R_TILES, grid_n)
+    n_groups = -(-grid_n // r)
+    pad = n_groups * r - grid_n
+    tiles_padded = jnp.concatenate(
+        [tile_ids.astype(jnp.int32),
+         jnp.full((pad,), num_tiles, jnp.int32)]
+    )
+    starts_s = jnp.concatenate(
+        [bins.tile_start, jnp.zeros((1,), bins.tile_start.dtype)])
+    counts_s = jnp.concatenate(
+        [jnp.minimum(bins.tile_count, k_cap),
+         jnp.zeros((1,), bins.tile_count.dtype)]).astype(jnp.int32)
+
     kernel = functools.partial(
         _kernel,
         gx=gx,
@@ -347,36 +413,36 @@ def composite_tiles_pallas(
         alpha_cutoff=config.alpha_cutoff,
         alpha_max=config.alpha_max,
         log_eps=float(math.log(config.transmittance_eps)),
+        r_tiles=r,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(grid_n,),
+        grid=(n_groups,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            pl.BlockSpec((None, p, 4), lambda g, starts, counts, tiles: (g, 0, 0)),
-            pl.BlockSpec((None, p, maxc),
+            pl.BlockSpec((r, p, 4), lambda g, starts, counts, tiles: (g, 0, 0)),
+            pl.BlockSpec((r, p, maxc),
                          lambda g, starts, counts, tiles: (g, 0, 0)),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 8, KC), jnp.float32),
-            pltpu.VMEM((2, 4, KC), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, r, 8, KC), jnp.float32),
+            pltpu.VMEM((2, r, 4, KC), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, r, 2)),
         ],
     )
     out, carries = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((grid_n, p, 4), jnp.float32),
-            jax.ShapeDtypeStruct((grid_n, p, maxc), jnp.float32),
+            jax.ShapeDtypeStruct((n_groups * r, p, 4), jnp.float32),
+            jax.ShapeDtypeStruct((n_groups * r, p, maxc), jnp.float32),
         ),
         interpret=interpret,
-    )(bins.tile_start, jnp.minimum(bins.tile_count, k_cap).astype(jnp.int32),
-      tile_ids.astype(jnp.int32), fields_t[0], fields_t[1])
-    return out, carries, fields_t
+    )(starts_s, counts_s, tiles_padded, fields_t[0], fields_t[1])
+    return out[:grid_n], carries[:grid_n], fields_t
 
 
 def _forward(splats, bins, width, height, config, interpret=False):
@@ -450,8 +516,15 @@ def _fold_pair_grads(dpairs: jnp.ndarray, bins: TileBins, n: int) -> jnp.ndarray
     d_b = bins.tier_b_width
     pad = n_slots - cap
 
+    # the backward kernel gives each in-group tile its own F_PAD row group
+    # (hazard-free in-group RMW); a pair belongs to exactly one tile, so
+    # summing groups recovers its gradient
+    n_groups = dpairs.shape[0] // F_PAD
     rows = tuple(
-        jnp.concatenate([dpairs[k, :cap], jnp.zeros((pad,), dpairs.dtype)])
+        jnp.concatenate([
+            sum(dpairs[g * F_PAD + k, :cap] for g in range(n_groups)),
+            jnp.zeros((pad,), dpairs.dtype),
+        ])
         for k in range(9)
     )
     sorted_back = jax.lax.sort(
@@ -502,6 +575,69 @@ def _bwd(width, height, config, interpret, residuals, cotangent):
 
 
 rasterize_tiles_pallas.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def composite_tiles_subset_pallas(splats, tile_ids, width, height, config,
+                                  interpret=False):
+    """Differentiable fused compositing of an arbitrary tile subset →
+    [len(tile_ids), P, 4] (rgba, premultiplied).
+
+    The shard_map tile-sharded paths call this per device with the tiles it
+    owns (parallel.render_sharded / train_sharded / gaussian_sharded), so
+    the fused kernel — not the portable lax.map compositor — runs inside
+    the sharded programs on TPU. Binning runs INSIDE this custom-VJP
+    boundary with carry_fields=True (same reasoning as rasterize_pallas);
+    the backward runs the fused back-to-front kernel over the same tile
+    subset and folds pair gradients onto splats (pairs of unowned tiles
+    simply carry zero gradient rows). tile_ids receives no cotangent.
+    """
+    out, _ = _forward_subset(splats, tile_ids, width, height, config,
+                             interpret)
+    return out
+
+
+def _forward_subset(splats, tile_ids, width, height, config, interpret):
+    from ..sort import bin_splats
+
+    bins = bin_splats(splats, width, height, config, carry_fields=True)
+    tiles, carries, fields_t = composite_tiles_pallas(
+        splats, bins, width, height, config, interpret=interpret,
+        tile_ids=tile_ids,
+    )
+    return tiles, (splats, bins, carries, fields_t, tile_ids)
+
+
+def _fwd_subset(splats, tile_ids, width, height, config, interpret=False):
+    return _forward_subset(splats, tile_ids, width, height, config,
+                           interpret)
+
+
+def _bwd_subset(width, height, config, interpret, residuals, cot_tiles):
+    import numpy as np
+
+    from .raster_bwd import backward_pair_grads
+
+    splats, bins, carries, fields_t, tile_ids = residuals
+    n = splats.depth.shape[0]
+    dpairs = backward_pair_grads(
+        fields_t, carries, cot_tiles, bins.tile_start, bins.tile_count,
+        width, height, config, interpret=interpret, tile_ids=tile_ids,
+    )
+    seg = _fold_pair_grads(dpairs, bins, n)
+    d_splats = ProjectedSplats(
+        mean2d=seg[:, 0:2],
+        conic=seg[:, 2:5],
+        depth=jnp.zeros_like(splats.depth),
+        radius=jnp.zeros_like(splats.radius),
+        rgb=seg[:, 5:8],
+        opacity=seg[:, 8],
+        valid=np.zeros(splats.valid.shape, jax.dtypes.float0),
+    )
+    return d_splats, None
+
+
+composite_tiles_subset_pallas.defvjp(_fwd_subset, _bwd_subset)
 
 
 def _forward_binned(splats, width, height, config, interpret):

@@ -15,10 +15,16 @@ The forward kernel stores the per-chunk log-transmittance carries
 (`carries`), so the backward makes a single back-to-front sweep per tile:
 stream the slab, recompute α, form the suffix with a strict-lower-triangular
 matmul, reduce over pixels, and accumulate per-pair gradients into the
-(tile,depth)-sorted pair-gradient array with read-add-write DMA (adjacent
-tiles share boundary 128-lane blocks; grid steps execute sequentially so
-RMW is race-free). A single XLA segment-sum then folds pair gradients onto
-splats.
+(tile,depth)-sorted pair-gradient array with read-add-write DMA.
+
+Like the forward (raster.py R_TILES), each grid step processes R tiles with
+their pixel rows stacked [R·P, KC], amortizing the per-step fixed cost that
+dominates at ~1 chunk/tile. Each tile in a group accumulates into its OWN
+row group of the pair-gradient array (rows [r·F_PAD, (r+1)·F_PAD)), so
+in-group RMW blocks can never alias even where adjacent tiles share a
+128-lane boundary block; the fold sums the R row groups (one elementwise
+pass). Across grid steps the same row group is protected by the end-of-tile
+write drains plus sequential grid execution, exactly as in round 1.
 """
 
 from __future__ import annotations
@@ -32,23 +38,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...config import RenderConfig
-from .raster import F_PAD, KC, _dot_bf16x2, _dot_exact_bf16x3, _dot_general_bf16x3
+from .raster import (
+    F_PAD, KC, R_TILES, _dot_bf16x2, _dot_exact_bf16x3, _dot_general_bf16x3,
+)
 
 
 def _bwd_kernel(
-    starts_ref,            # SMEM [T] int32
-    counts_ref,            # SMEM [T] int32
-    tiles_ref,             # SMEM [G] int32: grid→tile id
+    starts_ref,            # SMEM [T+1] int32 (sentinel row 0 at the end)
+    counts_ref,            # SMEM [T+1] int32
+    tiles_ref,             # SMEM [G_pad] int32: grid→tile id (num_tiles=pad)
     f8_hbm,                # ANY [8, M_pad] f32 (mx,my,ca,cb,cc,r,g,b)
     f4_hbm,                # ANY [4, M_pad] f32 (opacity,0,0,0)
-    carries_ref,           # VMEM [P, MAXC] f32 (start-of-chunk log T)
-    cot_ref,               # VMEM [P, 4] f32 (g_r, g_g, g_b, g_alpha)
-    dzero_hbm,             # ANY  [F_PAD, M_pad] f32 (zeros, aliased to out)
-    dpairs_hbm,            # ANY  [F_PAD, M_pad] f32 out (aliased)
-    slab8_ref,             # VMEM scratch [2, 8, KC]
-    slab4_ref,             # VMEM scratch [2, 4, KC]
-    rmw_ref,               # VMEM scratch [2, F_PAD, KC]
-    sem_ref,               # DMA semaphores (2,2) slab + (4,) rmw r/w
+    carries_ref,           # VMEM [R, P, MAXC] f32 (start-of-chunk log T)
+    cot_ref,               # VMEM [R, P, 4] f32 (g_r, g_g, g_b, g_alpha)
+    dzero_hbm,             # ANY  [R·F_PAD, M_pad] f32 (zeros, aliased to out)
+    dpairs_hbm,            # ANY  [R·F_PAD, M_pad] f32 out (aliased)
+    slab8_ref,             # VMEM scratch [2, R, 8, KC]
+    slab4_ref,             # VMEM scratch [2, R, 4, KC]
+    rmw_ref,               # VMEM scratch [2, R, F_PAD, KC]
+    sem_ref,               # DMA semaphores (4, R, 2): slab8/slab4/rd/wr
     *,
     gx: int,
     tile_size: int,
@@ -56,29 +64,45 @@ def _bwd_kernel(
     alpha_cutoff: float,
     alpha_max: float,
     log_eps: float,
+    r_tiles: int,
 ):
     del dzero_hbm
-    t = tiles_ref[pl.program_id(0)]
     p = tile_size * tile_size
-    maxc = carries_ref.shape[1]
+    R = r_tiles
+    g0 = pl.program_id(0) * R
+    maxc = carries_ref.shape[2]
+    ts_f = float(tile_size)
 
-    start = starts_ref[t]
-    count = jnp.minimum(counts_ref[t], k_cap)
-    base = (start // KC) * KC
-    lead = start - base
-    total = lead + count
-    n_chunks = jnp.where(count > 0, pl.cdiv(total, KC), 0)
-
-    # chunks whose starting transmittance is already below threshold were
-    # never processed forward (carry sentinel -1e30) or contribute nothing
-    chunk_live = jnp.max(carries_ref[:, :], axis=0, keepdims=True) >= log_eps
+    bases, leads, totals, n_chunks_r, useful_r, txs, tys = \
+        [], [], [], [], [], [], []
     chunk_idx = jax.lax.broadcasted_iota(jnp.int32, (1, maxc), 1)
-    useful = jnp.sum(
-        jnp.where(jnp.logical_and(chunk_live, chunk_idx < n_chunks), 1, 0)
-    )
+    for r in range(R):
+        t = tiles_ref[g0 + r]
+        start = starts_ref[t]
+        count = jnp.minimum(counts_ref[t], k_cap)
+        base = (start // KC) * KC
+        lead = start - base
+        total = lead + count
+        n_chunks = jnp.where(count > 0, pl.cdiv(total, KC), 0)
+        # chunks whose starting transmittance is already below threshold
+        # were never processed forward (carry sentinel -1e30) or contribute
+        # nothing
+        chunk_live = (
+            jnp.max(carries_ref[r], axis=0, keepdims=True) >= log_eps
+        )
+        useful = jnp.sum(jnp.where(
+            jnp.logical_and(chunk_live, chunk_idx < n_chunks), 1, 0))
+        bases.append(base)
+        leads.append(lead)
+        totals.append(total)
+        n_chunks_r.append(n_chunks)
+        useful_r.append(useful)
+        txs.append((t % gx).astype(jnp.float32) * ts_f)
+        tys.append((t // gx).astype(jnp.float32) * ts_f)
+    max_useful = useful_r[0]
+    for r in range(1, R):
+        max_useful = jnp.maximum(max_useful, useful_r[r])
 
-    tx = (t % gx).astype(jnp.float32)
-    ty = (t // gx).astype(jnp.float32)
     # tile-local pixel coordinates (see forward kernel: the quadratic and
     # its gradient moments run on the MXU; local coords bound cancellation)
     pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
@@ -101,195 +125,255 @@ def _bwd_kernel(
     ).astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, KC), 1)
 
-    cot4 = cot_ref[:, :]                # [P, 4] = (g_r, g_g, g_b, g_alpha)
+    def stack_scalar(vals, dtype):
+        col = jnp.stack([v.astype(dtype) for v in vals]).reshape(R, 1, 1)
+        return jnp.broadcast_to(col, (R, p, 1)).reshape(R * p, 1)
 
-    def slab8_dma(slot, c):
-        off = pl.multiple_of(base + c * KC, KC)
+    lead_col = stack_scalar(leads, jnp.int32)
+    total_col = stack_scalar(totals, jnp.int32)
+
+    def c_of(r, i):
+        """Chunk index of tile r at back-to-front step i (clamped; callers
+        guard with i < useful_r)."""
+        return jnp.maximum(useful_r[r] - 1 - i, 0)
+
+    def slab8_dma(slot, r, c):
+        off = pl.multiple_of(bases[r] + c * KC, KC)
         return pltpu.make_async_copy(
             f8_hbm.at[:, pl.ds(off, KC)],
-            slab8_ref.at[slot],
-            sem_ref.at[0, slot],
+            slab8_ref.at[slot, r],
+            sem_ref.at[0, r, slot],
         )
 
-    def slab4_dma(slot, c):
-        off = pl.multiple_of(base + c * KC, KC)
+    def slab4_dma(slot, r, c):
+        off = pl.multiple_of(bases[r] + c * KC, KC)
         return pltpu.make_async_copy(
             f4_hbm.at[:, pl.ds(off, KC)],
-            slab4_ref.at[slot],
-            sem_ref.at[1, slot],
+            slab4_ref.at[slot, r],
+            sem_ref.at[1, r, slot],
         )
 
-    def slab_start(slot, c):
-        slab8_dma(slot, c).start()
-        slab4_dma(slot, c).start()
-
-    def slab_wait(slot, c):
-        slab8_dma(slot, c).wait()
-        slab4_dma(slot, c).wait()
-
-    def rmw_read_dma(slot, c):
-        off = pl.multiple_of(base + c * KC, KC)
+    def rmw_read_dma(slot, r, c):
+        off = pl.multiple_of(bases[r] + c * KC, KC)
         return pltpu.make_async_copy(
-            dpairs_hbm.at[:, pl.ds(off, KC)],
-            rmw_ref.at[slot],
-            sem_ref.at[2, slot],
+            dpairs_hbm.at[pl.ds(r * F_PAD, F_PAD), pl.ds(off, KC)],
+            rmw_ref.at[slot, r],
+            sem_ref.at[2, r, slot],
         )
 
-    def rmw_write_dma(slot, c):
-        off = pl.multiple_of(base + c * KC, KC)
+    def rmw_write_dma(slot, r, c):
+        off = pl.multiple_of(bases[r] + c * KC, KC)
         return pltpu.make_async_copy(
-            rmw_ref.at[slot],
-            dpairs_hbm.at[:, pl.ds(off, KC)],
-            sem_ref.at[3, slot],
+            rmw_ref.at[slot, r],
+            dpairs_hbm.at[pl.ds(r * F_PAD, F_PAD), pl.ds(off, KC)],
+            sem_ref.at[3, r, slot],
         )
 
-    @pl.when(useful > 0)
-    def _():
-        slab_start(0, useful - 1)
-        rmw_read_dma(0, useful - 1).start()
+    for r in range(R):
+        @pl.when(useful_r[r] > 0)
+        def _(r=r):
+            slab8_dma(0, r, c_of(r, 0)).start()
+            slab4_dma(0, r, c_of(r, 0)).start()
+            rmw_read_dma(0, r, c_of(r, 0)).start()
 
     def body(i, s_carry):
-        c = useful - 1 - i
         s = i % 2
 
-        @pl.when(i + 1 < useful)
-        def _():
-            slab_start((i + 1) % 2, c - 1)
-
-        slab_wait(s, c)
-        slab = slab8_ref[s]
-
-        mx = slab[0:1, :] - tx * tile_size   # tile-local splat center
-        my = slab[1:2, :] - ty * tile_size
-        ca = slab[2:3, :]
-        cb = slab[3:4, :]
-        cc = slab[4:5, :]
-        op = slab4_ref[s][0:1, :]
+        # prefetch next step's slabs while this step computes
+        for r in range(R):
+            @pl.when(i + 1 < useful_r[r])
+            def _(r=r):
+                slab8_dma((i + 1) % 2, r, c_of(r, i + 1)).start()
+                slab4_dma((i + 1) % 2, r, c_of(r, i + 1)).start()
 
         # alpha recompute: same rank-6 bilinear form as the forward kernel
-        v_mat = jnp.concatenate(
-            [
-                -(0.5 * ca * mx * mx + cb * mx * my + 0.5 * cc * my * my),
-                ca * mx + cb * my,
-                cc * my + cb * mx,
-                -0.5 * ca,
-                -0.5 * cc,
-                -cb,
-                jnp.zeros((2, KC), jnp.float32),
-            ],
-            axis=0,
-        )
-        raw_power = _dot_exact_bf16x3(u_mat, v_mat)
+        powers, f4s, carry_cs, gcols = [], [], [], []
+        active_flags = []
+        for r in range(R):
+            active = i < useful_r[r]
+            active_flags.append(active)
+            c = c_of(r, i)
+
+            @pl.when(active)
+            def _(r=r, c=c):
+                slab8_dma(s, r, c).wait()
+                slab4_dma(s, r, c).wait()
+
+            slab = slab8_ref[s, r]
+            mx = slab[0:1, :] - txs[r]
+            my = slab[1:2, :] - tys[r]
+            ca = slab[2:3, :]
+            cb = slab[3:4, :]
+            cc = slab[4:5, :]
+            v_mat = jnp.concatenate(
+                [
+                    -(0.5 * ca * mx * mx + cb * mx * my
+                      + 0.5 * cc * my * my),
+                    ca * mx + cb * my,
+                    cc * my + cb * mx,
+                    -0.5 * ca,
+                    -0.5 * cc,
+                    -cb,
+                    jnp.zeros((2, KC), jnp.float32),
+                ],
+                axis=0,
+            )
+            powers.append(_dot_exact_bf16x3(u_mat, v_mat))
+            f4s.append(jnp.concatenate(
+                [slab[5:8, :], jnp.ones((1, KC), jnp.float32)], axis=0
+            ))
+            # single-lane carry reads need static offsets → switch over the
+            # (small, static) chunk index
+            carry_cs.append(jax.lax.switch(
+                jnp.minimum(c, maxc - 1),
+                [(lambda r=r, ci=ci: carries_ref[r, :, ci : ci + 1])
+                 for ci in range(maxc)],
+            ))
+            gcols.append(c * KC + lane)
+
+        raw_power = jnp.concatenate(powers, axis=0)        # [R·P, KC]
+        op = jnp.concatenate(
+            [jnp.broadcast_to(slab4_ref[s, r][0:1, :], (p, KC))
+             for r in range(R)], axis=0)
+        g_idx = jnp.concatenate(
+            [jnp.broadcast_to(gcols[r], (p, KC)) for r in range(R)], axis=0)
+        active_col = stack_scalar(
+            [jnp.where(a, 1, 0) for a in active_flags], jnp.int32) > 0
+
         power = jnp.minimum(raw_power, 0.0)
         e_pow = jnp.exp(power)
         a_pre = op * e_pow
         alpha = jnp.minimum(a_pre, alpha_max)
         cut = alpha < alpha_cutoff
-        g_idx = c * KC + lane
-        window = jnp.logical_and(g_idx >= lead, g_idx < total)
+        window = jnp.logical_and(g_idx >= lead_col, g_idx < total_col)
+        window = jnp.logical_and(window, active_col)
         dead = jnp.logical_or(cut, jnp.logical_not(window))
         alpha = jnp.where(dead, 0.0, alpha)
 
         log1m = jnp.log1p(-alpha)
         cum = _dot_bf16x2(log1m, tri)
-        # single-lane reads need static offsets → switch over chunk index
-        carry_c = jax.lax.switch(
-            jnp.minimum(c, maxc - 1),
-            [(lambda ci=ci: carries_ref[:, ci : ci + 1]) for ci in range(maxc)],
-        )
+        carry_c = jnp.concatenate(carry_cs, axis=0)        # [R·P, 1]
         log_t_incl = carry_c + cum
         contrib = log_t_incl >= log_eps
         t_excl = jnp.exp(log_t_incl - log1m)
         w = jnp.where(contrib, alpha * t_excl, 0.0)
 
-        # r = g_rgb·c + g_alpha as one MXU contraction: cot4 @ (fr;fg;fb;1)
-        f4 = jnp.concatenate(
-            [slab[5:8, :], jnp.ones((1, KC), jnp.float32)], axis=0
-        )                                  # [4, KC]
-        r = _dot_general_bf16x3(cot4, f4, (((1,), (0,)), ((), ())))  # [P, KC]
-        rw = r * w
+        # r = g_rgb·c + g_alpha, per tile one [P,4]×[4,KC] contraction
+        cot_flat = [cot_ref[r] for r in range(R)]          # [P, 4] each
+        rr = jnp.concatenate(
+            [
+                _dot_general_bf16x3(
+                    cot_flat[r], f4s[r], (((1,), (0,)), ((), ()))
+                )
+                for r in range(R)
+            ],
+            axis=0,
+        )                                  # [R·P, KC]
+        rw = rr * w
         suffix = _dot_bf16x2(rw, tri_strict_low)
         s_k = s_carry + suffix
 
         dalpha = jnp.where(
             jnp.logical_and(contrib, jnp.logical_not(dead)),
-            t_excl * r - s_k / (1.0 - alpha),
+            t_excl * rr - s_k / (1.0 - alpha),
             0.0,
         )
         # chain through the alpha_max clamp and the 1/255 cutoff
         da_pre = jnp.where(a_pre > alpha_max, 0.0, dalpha)
         dpow_u = da_pre * a_pre
-        d_op = jnp.sum(da_pre * e_pow, axis=0, keepdims=True)
         dpow = jnp.where(raw_power > 0.0, 0.0, dpow_u)
 
-        # geometry gradients from pixel-coordinate moments of dpow (MXU):
-        # Mom = Uᵀ dpow → rows [Σdpow, Σdpow·px, Σdpow·py, Σdpow·px²,
-        #                       Σdpow·py², Σdpow·px·py]
-        mom = _dot_general_bf16x3(
-            u_mat, dpow, (((0,), (0,)), ((), ()))
-        )                                  # [8, KC]
-        m0 = mom[0:1, :]
-        m1x = mom[1:2, :]
-        m1y = mom[2:3, :]
-        m2xx = mom[3:4, :]
-        m2yy = mom[4:5, :]
-        m2xy = mom[5:6, :]
-        c1x = m1x - mx * m0
-        c1y = m1y - my * m0
-        d_mx = ca * c1x + cb * c1y
-        d_my = cc * c1y + cb * c1x
-        d_ca = -0.5 * (m2xx - 2.0 * mx * m1x + mx * mx * m0)
-        d_cc = -0.5 * (m2yy - 2.0 * my * m1y + my * my * m0)
-        d_cb = -(m2xy - mx * m1y - my * m1x + mx * my * m0)
+        for r in range(R):
+            rows = slice(r * p, (r + 1) * p)
+            slab = slab8_ref[s, r]
+            mx = slab[0:1, :] - txs[r]
+            my = slab[1:2, :] - tys[r]
+            ca = slab[2:3, :]
+            cb = slab[3:4, :]
+            cc = slab[4:5, :]
 
-        # color gradients: Σ_p w·g_c as cotᵀ w (MXU)
-        gmat = _dot_general_bf16x3(
-            cot4, w, (((0,), (0,)), ((), ()))
-        )                                  # [4, KC]; rows r,g,b,(alpha-unused)
-        d_fr = gmat[0:1, :]
-        d_fg = gmat[1:2, :]
-        d_fb = gmat[2:3, :]
+            d_op = jnp.sum(da_pre[rows] * e_pow[rows], axis=0, keepdims=True)
 
-        # Read-add-write of the pair-gradient block, double-buffered: the
-        # read for chunk c was prefetched one iteration ahead (hidden behind
-        # this chunk's compute) and the write drains asynchronously while
-        # the next chunk computes. This is hazard-free because one tile's
-        # chunk blocks are disjoint (block = base + c·KC, distinct c), the
-        # VMEM slot is reused only after its write-out is waited, and the
-        # cross-tile shared boundary block is protected by the end-of-tile
-        # drain below (grid steps execute sequentially).
-        rmw_read_dma(s, c).wait()
-        grads = jnp.concatenate(
-            [d_mx, d_my, d_ca, d_cb, d_cc, d_fr, d_fg, d_fb, d_op,
-             jnp.zeros((F_PAD - 9, KC), jnp.float32)],
-            axis=0,
-        )
-        rmw_ref[s] = rmw_ref[s] + grads
-        rmw_write_dma(s, c).start()
+            # geometry gradients from pixel-coordinate moments of dpow
+            # (MXU): Mom = Uᵀ dpow → rows [Σdpow, Σdpow·px, Σdpow·py,
+            # Σdpow·px², Σdpow·py², Σdpow·px·py]
+            mom = _dot_general_bf16x3(
+                u_mat, dpow[rows], (((0,), (0,)), ((), ()))
+            )                              # [8, KC]
+            m0 = mom[0:1, :]
+            m1x = mom[1:2, :]
+            m1y = mom[2:3, :]
+            m2xx = mom[3:4, :]
+            m2yy = mom[4:5, :]
+            m2xy = mom[5:6, :]
+            c1x = m1x - mx * m0
+            c1y = m1y - my * m0
+            d_mx = ca * c1x + cb * c1y
+            d_my = cc * c1y + cb * c1x
+            d_ca = -0.5 * (m2xx - 2.0 * mx * m1x + mx * mx * m0)
+            d_cc = -0.5 * (m2yy - 2.0 * my * m1y + my * my * m0)
+            d_cb = -(m2xy - mx * m1y - my * m1x + mx * my * m0)
 
-        @pl.when(i + 1 < useful)
-        def _():
-            s2 = (i + 1) % 2
+            # color gradients: Σ_p w·g_c as cotᵀ w (MXU)
+            gmat = _dot_general_bf16x3(
+                cot_flat[r], w[rows], (((0,), (0,)), ((), ()))
+            )                              # [4, KC]; rows r,g,b,(unused)
+            d_fr = gmat[0:1, :]
+            d_fg = gmat[1:2, :]
+            d_fb = gmat[2:3, :]
 
-            @pl.when(i >= 1)
-            def _():
-                rmw_write_dma(s2, c + 1).wait()
+            grads = jnp.concatenate(
+                [d_mx, d_my, d_ca, d_cb, d_cc, d_fr, d_fg, d_fb, d_op,
+                 jnp.zeros((F_PAD - 9, KC), jnp.float32)],
+                axis=0,
+            )
 
-            rmw_read_dma(s2, c - 1).start()
+            # Read-add-write of this tile's pair-gradient block, double-
+            # buffered: the read for step i was prefetched one step ahead
+            # (hidden behind the previous step's compute) and the write
+            # drains asynchronously while the next step computes. Hazard-
+            # free: one tile's chunk blocks are disjoint (distinct c), the
+            # VMEM slot is reused only after its write-out is waited,
+            # in-group tiles target disjoint dpairs ROW groups, and cross-
+            # step sharing of a row group is fenced by the end-of-kernel
+            # drains + sequential grid execution.
+            @pl.when(i < useful_r[r])
+            def _(r=r, grads=grads):
+                c = c_of(r, i)
+                rmw_read_dma(s, r, c).wait()
+                rmw_ref[s, r] = rmw_ref[s, r] + grads
+                rmw_write_dma(s, r, c).start()
+
+            @pl.when(i + 1 < useful_r[r])
+            def _(r=r):
+                s2 = (i + 1) % 2
+
+                @pl.when(i >= 1)
+                def _(r=r, s2=s2):
+                    rmw_write_dma(s2, r, c_of(r, i - 1)).wait()
+
+                rmw_read_dma(s2, r, c_of(r, i + 1)).start()
 
         return s_carry + jnp.sum(rw, axis=1, keepdims=True)
 
-    jax.lax.fori_loop(0, useful, body, jnp.zeros((p, 1), jnp.float32))
+    jax.lax.fori_loop(0, max_useful, body,
+                      jnp.zeros((R * p, 1), jnp.float32))
 
-    # drain the (up to two) in-flight pair-gradient writes before the next
-    # grid step may touch a shared boundary block
-    @pl.when(useful > 1)
-    def _():
-        rmw_write_dma((useful - 2) % 2, 1).wait()
+    # drain the (up to two) in-flight pair-gradient writes per tile before
+    # the next grid step may touch a shared boundary block of the same row
+    # group
+    for r in range(R):
+        @pl.when(useful_r[r] > 1)
+        def _(r=r):
+            rmw_write_dma(
+                (useful_r[r] - 2) % 2, r, c_of(r, useful_r[r] - 2)
+            ).wait()
 
-    @pl.when(useful > 0)
-    def _():
-        rmw_write_dma((useful - 1) % 2, 0).wait()
+        @pl.when(useful_r[r] > 0)
+        def _(r=r):
+            rmw_write_dma(
+                (useful_r[r] - 1) % 2, r, c_of(r, useful_r[r] - 1)
+            ).wait()
 
 
 def backward_pair_grads(
@@ -304,7 +388,10 @@ def backward_pair_grads(
     interpret: bool = False,
     tile_ids: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Run the backward kernel → pair gradients [F_PAD, M_pad]."""
+    """Run the backward kernel → pair gradients [R·F_PAD, M_pad].
+
+    Row group g holds the gradients accumulated by tiles at in-group
+    position g; the fold sums groups (raster._fold_pair_grads)."""
     f8_t, f4_t = fields_t
     ts = config.tile_size
     gx, gy = config.grid_size(width, height)
@@ -317,6 +404,22 @@ def backward_pair_grads(
     maxc = carries.shape[-1]
     m_pad = f8_t.shape[1]
 
+    r = min(R_TILES, grid_n)
+    n_groups = -(-grid_n // r)
+    pad = n_groups * r - grid_n
+    tiles_padded = jnp.concatenate(
+        [tile_ids.astype(jnp.int32), jnp.full((pad,), num_tiles, jnp.int32)]
+    )
+    starts_s = jnp.concatenate(
+        [tile_start, jnp.zeros((1,), tile_start.dtype)])
+    counts_s = jnp.concatenate(
+        [jnp.minimum(tile_count, k_cap),
+         jnp.zeros((1,), tile_count.dtype)]).astype(jnp.int32)
+    carries_p = jnp.concatenate(
+        [carries, jnp.full((pad, p, maxc), -1e30, carries.dtype)])
+    cot_p = jnp.concatenate(
+        [cot_tiles, jnp.zeros((pad, p, 4), cot_tiles.dtype)])
+
     kernel = functools.partial(
         _bwd_kernel,
         gx=gx,
@@ -325,41 +428,42 @@ def backward_pair_grads(
         alpha_cutoff=config.alpha_cutoff,
         alpha_max=config.alpha_max,
         log_eps=float(math.log(config.transmittance_eps)),
+        r_tiles=r,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(grid_n,),
+        grid=(n_groups,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),                         # f8
             pl.BlockSpec(memory_space=pl.ANY),                         # f4
-            pl.BlockSpec((None, p, maxc), lambda g, s, c, t: (g, 0, 0)),  # carries
-            pl.BlockSpec((None, p, 4), lambda g, s, c, t: (g, 0, 0)),     # cot
+            pl.BlockSpec((r, p, maxc), lambda g, s, c, t: (g, 0, 0)),  # carries
+            pl.BlockSpec((r, p, 4), lambda g, s, c, t: (g, 0, 0)),     # cot
             pl.BlockSpec(memory_space=pl.ANY),                         # dzero
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, 8, KC), jnp.float32),
-            pltpu.VMEM((2, 4, KC), jnp.float32),
-            pltpu.VMEM((2, F_PAD, KC), jnp.float32),
-            pltpu.SemaphoreType.DMA((4, 2)),
+            pltpu.VMEM((2, r, 8, KC), jnp.float32),
+            pltpu.VMEM((2, r, 4, KC), jnp.float32),
+            pltpu.VMEM((2, r, F_PAD, KC), jnp.float32),
+            pltpu.SemaphoreType.DMA((4, r, 2)),
         ],
     )
-    dzero = jnp.zeros((F_PAD, m_pad), jnp.float32)
+    dzero = jnp.zeros((r * F_PAD, m_pad), jnp.float32)
     dpairs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((F_PAD, m_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((r * F_PAD, m_pad), jnp.float32),
         input_output_aliases={7: 0},  # flat input index incl. scalar prefetch
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(
-        tile_start,
-        jnp.minimum(tile_count, k_cap).astype(jnp.int32),
-        tile_ids.astype(jnp.int32),
+        starts_s,
+        counts_s,
+        tiles_padded,
         f8_t,
         f4_t,
-        carries,
-        cot_tiles,
+        carries_p,
+        cot_p,
         dzero,
     )
     return dpairs

@@ -217,6 +217,33 @@ def composite_tiles(
     return out.reshape(tile_ids.shape[0], ts, ts, 4)
 
 
+def composite_tiles_auto(
+    splats: ProjectedSplats,
+    tile_ids: jnp.ndarray,
+    width: int,
+    height: int,
+    config: RenderConfig,
+    gx: int,
+) -> jnp.ndarray:
+    """Composite a tile-id subset → [T, ts, ts, 4], dispatching like
+    render_impl: the fused Pallas kernel on TPU, the portable lax.map
+    compositor elsewhere. Used by the shard_map tile-sharded paths (each
+    device passes the tiles it owns); binning happens internally (inside
+    the kernel's custom-VJP boundary on the Pallas path)."""
+    ts = config.tile_size
+    if config.use_pallas == "always" or (
+        config.use_pallas == "auto" and jax.default_backend() == "tpu"
+    ):
+        from .pallas.raster import composite_tiles_subset_pallas
+
+        tiles = composite_tiles_subset_pallas(
+            splats, tile_ids, width, height, config
+        )
+        return tiles.reshape(-1, ts, ts, 4)
+    bins = bin_splats(splats, width, height, config)
+    return composite_tiles(splats, bins, tile_ids, gx, config)
+
+
 def assemble_image(
     tiles_out: jnp.ndarray, width: int, height: int, gx: int, gy: int
 ) -> jnp.ndarray:

@@ -45,8 +45,7 @@ from ..config import RenderConfig
 from ..core.types import CameraParams, GaussianCloud
 from ..models.gaussian_model import GaussianModel
 from ..ops.projection import project_gaussians
-from ..ops.rasterize import assemble_image, composite_tiles
-from ..ops.sort import bin_splats
+from ..ops.rasterize import assemble_image, composite_tiles_auto
 from ..train.loss import photometric_loss
 from ..train.trainer import TrainState
 from .mesh import AXES
@@ -119,8 +118,8 @@ def render_gaussian_sharded(
             cloud_shard, camera, width, height, config
         )
         splats = ring_all_gather(splats_shard, AXES.tile, s)
-        bins = bin_splats(splats, width, height, config)
-        local = composite_tiles(splats, bins, my_tiles, gx, config)
+        local = composite_tiles_auto(
+            splats, my_tiles, width, height, config, gx)
         return jax.lax.all_gather(local, AXES.tile, tiled=True)
 
     gathered = run(cloud, camera, tile_ids)
@@ -165,8 +164,8 @@ def make_gaussian_sharded_train_step(
                 cloud_shard, camera, width, height, config
             )
             splats = ring_all_gather(splats_shard, AXES.tile, n_tile)
-            bins = bin_splats(splats, width, height, config)
-            local = composite_tiles(splats, bins, my_tiles, gx, config)
+            local = composite_tiles_auto(
+                splats, my_tiles, width, height, config, gx)
             gathered = jax.lax.all_gather(local, AXES.tile, tiled=True)
             dealt = gathered.reshape(n_tile, per, ts, ts, 4)
             row_major = dealt.transpose(1, 0, 2, 3, 4).reshape(-1, ts, ts, 4)

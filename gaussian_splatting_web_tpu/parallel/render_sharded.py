@@ -20,8 +20,7 @@ from jax import shard_map
 from ..config import RenderConfig
 from ..core.types import CameraParams, GaussianCloud
 from ..ops.projection import project_gaussians
-from ..ops.rasterize import assemble_image, composite_tiles
-from ..ops.sort import bin_splats
+from ..ops.rasterize import assemble_image, composite_tiles_auto
 from .mesh import AXES
 
 
@@ -65,8 +64,9 @@ def render_sharded(
     )
     def run(cloud, camera, my_tiles):
         splats = project_gaussians(cloud, camera, width, height, config)
-        bins = bin_splats(splats, width, height, config)
-        local = composite_tiles(splats, bins, my_tiles, gx, config)  # [per, ts, ts, 4]
+        local = composite_tiles_auto(
+            splats, my_tiles, width, height, config, gx
+        )                                                            # [per, ts, ts, 4]
         return jax.lax.all_gather(local, AXES.tile, tiled=True)      # [per·S, ...]
 
     gathered = run(cloud, camera, tile_ids)

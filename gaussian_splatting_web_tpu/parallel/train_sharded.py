@@ -32,8 +32,7 @@ from ..config import RenderConfig
 from ..core.types import CameraParams
 from ..models.gaussian_model import GaussianModel
 from ..ops.projection import project_gaussians
-from ..ops.rasterize import assemble_image, composite_tiles
-from ..ops.sort import bin_splats
+from ..ops.rasterize import assemble_image, composite_tiles_auto
 from ..train.loss import photometric_loss
 from ..train.trainer import TrainState
 from .mesh import AXES
@@ -68,8 +67,8 @@ def make_sharded_train_step(
 
         def one_cam(camera, target):
             splats = project_gaussians(cloud, camera, width, height, config)
-            bins = bin_splats(splats, width, height, config)
-            local = composite_tiles(splats, bins, my_tiles, gx, config)
+            local = composite_tiles_auto(
+                splats, my_tiles, width, height, config, gx)
             gathered = jax.lax.all_gather(local, AXES.tile, tiled=True)
             dealt = gathered.reshape(n_tile, per, ts, ts, 4)
             row_major = dealt.transpose(1, 0, 2, 3, 4).reshape(-1, ts, ts, 4)

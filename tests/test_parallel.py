@@ -169,8 +169,6 @@ def test_gaussian_sharded_train_matches_single_device():
 
     # params and moments live sharded: N/S rows per device
     xyz = state0.params.xyz
-    assert xyz.sharding.spec == (("tile",) if hasattr(xyz.sharding, "spec")
-                                 else None) or True
     shard_rows = xyz.addressable_shards[0].data.shape[0]
     assert shard_rows == n // 4
 
@@ -193,3 +191,46 @@ def test_gaussian_sharded_train_matches_single_device():
     for a, b in zip(jax.tree_util.tree_leaves(state1.params),
                     jax.tree_util.tree_leaves(params_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_multihost_init_noop_without_coordinator(monkeypatch):
+    from gaussian_splatting_web_tpu.parallel.multihost import (
+        initialize_multihost,
+    )
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
+                "MEGASCALE_COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(var, raising=False)
+    assert initialize_multihost() is False  # single-process: no-op
+
+
+def test_run_with_restarts_retries_then_succeeds():
+    from gaussian_splatting_web_tpu.parallel.multihost import (
+        run_with_restarts,
+    )
+
+    calls = []
+
+    def flaky(ckpt_dir):
+        calls.append(ckpt_dir)
+        if len(calls) < 3:
+            raise RuntimeError("simulated preemption")
+        return "done"
+
+    out = run_with_restarts(flaky, checkpoint_dir="/tmp/x", max_restarts=3,
+                            backoff_s=0.0)
+    assert out == "done" and len(calls) == 3
+
+
+def test_run_with_restarts_gives_up():
+    import pytest as _pytest
+
+    from gaussian_splatting_web_tpu.parallel.multihost import (
+        run_with_restarts,
+    )
+
+    def always_fails(_):
+        raise RuntimeError("hard failure")
+
+    with _pytest.raises(RuntimeError):
+        run_with_restarts(always_fails, max_restarts=2, backoff_s=0.0)
