@@ -372,6 +372,7 @@ def composite_tiles_pallas(
     interpret: bool = False,
     fields_t: jnp.ndarray | None = None,
     tile_ids: jnp.ndarray | None = None,
+    r_tiles: int | None = None,
 ):
     """Composite `tile_ids` (default: all tiles row-major) →
     (tiles [G, P, 4], carries [G, P, MAXC], fields_t). `carries` holds the
@@ -392,7 +393,7 @@ def composite_tiles_pallas(
     # R tiles per grid step; pad the tile list with the sentinel id
     # num_tiles, whose start/count lookup row is 0 (empty segment) — padding
     # rows compute nothing and are sliced away below
-    r = min(R_TILES, grid_n)
+    r = min(r_tiles or R_TILES, grid_n)
     n_groups = -(-grid_n // r)
     pad = n_groups * r - grid_n
     tiles_padded = jnp.concatenate(

@@ -387,6 +387,7 @@ def backward_pair_grads(
     config: RenderConfig,
     interpret: bool = False,
     tile_ids: jnp.ndarray | None = None,
+    r_tiles: int | None = None,
 ) -> jnp.ndarray:
     """Run the backward kernel → pair gradients [R·F_PAD, M_pad].
 
@@ -404,7 +405,7 @@ def backward_pair_grads(
     maxc = carries.shape[-1]
     m_pad = f8_t.shape[1]
 
-    r = min(R_TILES, grid_n)
+    r = min(r_tiles or R_TILES, grid_n)
     n_groups = -(-grid_n // r)
     pad = n_groups * r - grid_n
     tiles_padded = jnp.concatenate(
