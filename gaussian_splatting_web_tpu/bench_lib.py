@@ -30,6 +30,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import math
+import os
 import sys
 from typing import Optional
 
@@ -294,15 +295,20 @@ def run(
     del rl_sort, rl_comp
 
     # --- hardware gradient-parity gate (VERDICT r1 item 5) ---------------
-    if check_grads and jax.default_backend() == "tpu":
-        g = _grad_parity(cloud, camera, width, height, config)
-        ok = g["grad_p99"] <= 1e-2
-        _log(f"grad parity (pallas vs xla, same device): "
-             f"p50={g['grad_p50']:.2e} p99={g['grad_p99']:.2e} "
-             f"max={g['grad_max']:.2e} loss_rel={g['loss_rel']:.2e} "
-             f"gate(p99<=1e-2): {'PASS' if ok else 'FAIL'}")
-        result.update({f"parity_{k}": round(v, 8) for k, v in g.items()})
-        result["parity_gate_ok"] = bool(ok)
+    if (check_grads and jax.default_backend() == "tpu"
+            and not os.environ.get("GSWT_BENCH_SKIP_PARITY")):
+        try:
+            g = _grad_parity(cloud, camera, width, height, config)
+            ok = g["grad_p99"] <= 1e-2
+            _log(f"grad parity (pallas vs xla, same device): "
+                 f"p50={g['grad_p50']:.2e} p99={g['grad_p99']:.2e} "
+                 f"max={g['grad_max']:.2e} loss_rel={g['loss_rel']:.2e} "
+                 f"gate(p99<=1e-2): {'PASS' if ok else 'FAIL'}")
+            result.update({f"parity_{k}": round(v, 8) for k, v in g.items()})
+            result["parity_gate_ok"] = bool(ok)
+        except Exception as e:  # pragma: no cover — don't lose the perf
+            _log(f"grad parity check failed to run: {e!r}")
+            result["parity_gate_ok"] = False
 
     if emit_json:
         print(json.dumps({k: result[k] for k in

@@ -224,15 +224,23 @@ def composite_tiles_auto(
     height: int,
     config: RenderConfig,
     gx: int,
+    platform: str | None = None,
 ) -> jnp.ndarray:
     """Composite a tile-id subset → [T, ts, ts, 4], dispatching like
     render_impl: the fused Pallas kernel on TPU, the portable lax.map
     compositor elsewhere. Used by the shard_map tile-sharded paths (each
     device passes the tiles it owns); binning happens internally (inside
-    the kernel's custom-VJP boundary on the Pallas path)."""
+    the kernel's custom-VJP boundary on the Pallas path).
+
+    `platform` must be the platform the computation actually runs on —
+    sharded callers pass their mesh's device platform, because a virtual
+    CPU mesh can coexist with a registered TPU default backend (the
+    dryrun_multichip configuration)."""
     ts = config.tile_size
+    if platform is None:
+        platform = jax.default_backend()
     if config.use_pallas == "always" or (
-        config.use_pallas == "auto" and jax.default_backend() == "tpu"
+        config.use_pallas == "auto" and platform == "tpu"
     ):
         from .pallas.raster import composite_tiles_subset_pallas
 

@@ -105,6 +105,7 @@ def render_gaussian_sharded(
     num_tiles = gx * gy
     s = mesh.shape[AXES.tile]
     tile_ids, per = _padded_tile_ids(num_tiles, s, config.tile_chunk)
+    mesh_platform = mesh.devices.flat[0].platform
 
     @partial(
         shard_map,
@@ -119,7 +120,8 @@ def render_gaussian_sharded(
         )
         splats = ring_all_gather(splats_shard, AXES.tile, s)
         local = composite_tiles_auto(
-            splats, my_tiles, width, height, config, gx)
+            splats, my_tiles, width, height, config, gx,
+            platform=mesh_platform)
         return jax.lax.all_gather(local, AXES.tile, tiled=True)
 
     gathered = run(cloud, camera, tile_ids)
@@ -154,6 +156,7 @@ def make_gaussian_sharded_train_step(
     n_data = mesh.shape[AXES.data]
     tile_ids, per = _padded_tile_ids(num_tiles, n_tile, config.tile_chunk)
     ts = config.tile_size
+    mesh_platform = mesh.devices.flat[0].platform
     del n_data
 
     def local_loss(params_shard: GaussianModel, cameras, targets, my_tiles):
@@ -165,7 +168,8 @@ def make_gaussian_sharded_train_step(
             )
             splats = ring_all_gather(splats_shard, AXES.tile, n_tile)
             local = composite_tiles_auto(
-                splats, my_tiles, width, height, config, gx)
+                splats, my_tiles, width, height, config, gx,
+                platform=mesh_platform)
             gathered = jax.lax.all_gather(local, AXES.tile, tiled=True)
             dealt = gathered.reshape(n_tile, per, ts, ts, 4)
             row_major = dealt.transpose(1, 0, 2, 3, 4).reshape(-1, ts, ts, 4)

@@ -54,6 +54,7 @@ def render_sharded(
     num_tiles = gx * gy
     n_shards = mesh.shape[AXES.tile]
     tile_ids, per = _padded_tile_ids(num_tiles, n_shards, config.tile_chunk)
+    mesh_platform = mesh.devices.flat[0].platform
 
     @partial(
         shard_map,
@@ -65,7 +66,8 @@ def render_sharded(
     def run(cloud, camera, my_tiles):
         splats = project_gaussians(cloud, camera, width, height, config)
         local = composite_tiles_auto(
-            splats, my_tiles, width, height, config, gx
+            splats, my_tiles, width, height, config, gx,
+            platform=mesh_platform,
         )                                                            # [per, ts, ts, 4]
         return jax.lax.all_gather(local, AXES.tile, tiled=True)      # [per·S, ...]
 

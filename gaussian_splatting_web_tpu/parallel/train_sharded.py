@@ -60,6 +60,7 @@ def make_sharded_train_step(
     n_data = mesh.shape[AXES.data]
     tile_ids, per = _padded_tile_ids(num_tiles, n_tile, config.tile_chunk)
     ts = config.tile_size
+    mesh_platform = mesh.devices.flat[0].platform
 
     def local_loss(params: GaussianModel, cameras, targets, my_tiles):
         """Loss for this device's camera shard × tile shard (pre-scaled)."""
@@ -68,7 +69,8 @@ def make_sharded_train_step(
         def one_cam(camera, target):
             splats = project_gaussians(cloud, camera, width, height, config)
             local = composite_tiles_auto(
-                splats, my_tiles, width, height, config, gx)
+                splats, my_tiles, width, height, config, gx,
+                platform=mesh_platform)
             gathered = jax.lax.all_gather(local, AXES.tile, tiled=True)
             dealt = gathered.reshape(n_tile, per, ts, ts, 4)
             row_major = dealt.transpose(1, 0, 2, 3, 4).reshape(-1, ts, ts, 4)

@@ -134,3 +134,43 @@ def test_bin_splats_carry_fields_matches_gather():
     want = cols[gidx]                       # [M, 9]
     got = np.stack([np.asarray(f) for f in b.sorted_fields], axis=1)
     np.testing.assert_array_equal(got[live], want[live])
+
+
+def test_subset_kernel_matches_composite_tiles():
+    """composite_tiles_subset_pallas (the shard_map tile-subset entry) ==
+    the XLA compositor on the same tile subset, value and gradient."""
+    from gaussian_splatting_web_tpu.ops.rasterize import composite_tiles
+    from gaussian_splatting_web_tpu.ops.pallas.raster import (
+        composite_tiles_subset_pallas,
+    )
+
+    cloud = make_random_cloud(60, seed=4, sh_degree=1)
+    w, h = 64, 48
+    cfg = CFG.replace(tile_chunk=2)  # subset length must be chunk-aligned
+    camera = cam.default_camera(w, h, eye=(0, 0, -6), center=(0, 0, 0))
+    gx, gy = cfg.grid_size(w, h)
+    # a strided subset, like one shard's deal
+    tile_ids = jnp.arange(0, gx * gy, 2, dtype=jnp.int32)
+
+    def f_pallas(cl):
+        s = project_gaussians(cl, camera, w, h, cfg)
+        tiles = composite_tiles_subset_pallas(s, tile_ids, w, h, cfg, True)
+        return tiles
+
+    def f_xla(cl):
+        s = project_gaussians(cl, camera, w, h, cfg)
+        b = bin_splats(s, w, h, cfg)
+        return composite_tiles(s, b, tile_ids, gx, cfg).reshape(
+            tile_ids.shape[0], -1, 4)
+
+    t_p = f_pallas(cloud)
+    t_x = f_xla(cloud)
+    np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_x), atol=2e-4)
+
+    ww = jnp.linspace(0.3, 1.0, 4)
+    g_p = jax.grad(lambda cl: jnp.sum(f_pallas(cl) * ww))(cloud)
+    g_x = jax.grad(lambda cl: jnp.sum(f_xla(cl) * ww))(cloud)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g_p),
+                     jax.tree_util.tree_leaves(g_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-3, atol=2e-4)
