@@ -446,15 +446,28 @@ def composite_tiles_pallas(
     return out[:grid_n], carries[:grid_n], fields_t
 
 
+def _grouping_order(bins: TileBins) -> jnp.ndarray:
+    """Tile processing order for the full-image path: descending slab
+    length. R-tile groups walk in lockstep to the group max chunk count,
+    so grouping similar-length tiles minimizes the masked overwork (an
+    argsort of num_tiles counts — trivial next to the pair sort)."""
+    return jnp.argsort(-bins.tile_count).astype(jnp.int32)
+
+
 def _forward(splats, bins, width, height, config, interpret=False):
     from ..rasterize import assemble_image
 
     ts = config.tile_size
     gx, gy = config.grid_size(width, height)
+    order = _grouping_order(bins)
     tiles, carries, fields_t = composite_tiles_pallas(
-        splats, bins, width, height, config, interpret=interpret
+        splats, bins, width, height, config, interpret=interpret,
+        tile_ids=order,
     )
-    out = assemble_image(tiles.reshape(-1, ts, ts, 4), width, height, gx, gy)
+    inv = jnp.argsort(order)
+    out = assemble_image(
+        tiles[inv].reshape(-1, ts, ts, 4), width, height, gx, gy
+    )
     return (out[..., :3], out[..., 3]), carries, fields_t
 
 
@@ -553,10 +566,13 @@ def _bwd(width, height, config, interpret, residuals, cotangent):
     splats, bins, carries, fields_t = residuals
     n = splats.depth.shape[0]
 
-    cot_tiles = _cot_to_tiles(cotangent, width, height, config)
+    # carries were produced in count-sorted grouping order (see _forward);
+    # permute the cotangents the same way
+    order = _grouping_order(bins)
+    cot_tiles = _cot_to_tiles(cotangent, width, height, config)[order]
     dpairs = backward_pair_grads(
         fields_t, carries, cot_tiles, bins.tile_start, bins.tile_count,
-        width, height, config, interpret=interpret,
+        width, height, config, interpret=interpret, tile_ids=order,
     )
     seg = _fold_pair_grads(dpairs, bins, n)
 
