@@ -125,9 +125,14 @@ def _grad_parity(cloud, camera, width, height, config):
     rels = []
     for leaf_p, leaf_x in zip(jax.tree_util.tree_leaves(g_p),
                               jax.tree_util.tree_leaves(g_x)):
+        # skip float0 (the `valid` field) and integer leaves before any
+        # conversion — np.asarray(float64) chokes on float0 arrays
+        if (getattr(leaf_p, "dtype", None) == jax.dtypes.float0
+                or not jnp.issubdtype(leaf_p.dtype, jnp.floating)):
+            continue
         a = np.asarray(leaf_p, np.float64).ravel()
         b = np.asarray(leaf_x, np.float64).ravel()
-        if a.size == 0 or not np.issubdtype(a.dtype, np.floating):
+        if a.size == 0:
             continue
         scale = np.abs(b).max() + 1e-12
         rels.append(np.abs(a - b) / scale)

@@ -187,10 +187,12 @@ def _kernel(
     ).astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, KC), 1)
 
-    # [R·P, 1] per-row segment windows (tile r occupies rows r·P..(r+1)·P)
+    # [R·P, 1] per-row segment windows (tile r occupies rows r·P..(r+1)·P).
+    # Broadcast each scalar to its own [P, 1] block — Mosaic cannot lower a
+    # reshape of a length-R scalar vector into a 3-D vector layout.
     def stack_scalar(vals, dtype):
-        col = jnp.stack([v.astype(dtype) for v in vals]).reshape(R, 1, 1)
-        return jnp.broadcast_to(col, (R, p, 1)).reshape(R * p, 1)
+        return jnp.concatenate(
+            [jnp.broadcast_to(v.astype(dtype), (p, 1)) for v in vals], axis=0)
 
     lead_col = stack_scalar(leads, jnp.int32)
     total_col = stack_scalar(totals, jnp.int32)
