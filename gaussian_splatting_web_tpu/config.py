@@ -99,6 +99,25 @@ class RenderConfig:
     # passes with f32 accumulation (ops/pallas/raster.py).
     dtype: str = "float32"
 
+    # Pair-payload precision: with pack_fields the seven precision-tolerant
+    # splat fields (conic a/b/c, r, g, b, opacity) ride the binning sort
+    # bf16-rounded and PACKED IN PAIRS into u32 payloads (mean2d stays
+    # f32) — 4 payload arrays instead of 9. Measured on v5e at the 1M
+    # bench: lax.sort payloads cost ~3.9 ms EACH at 4.25M slots
+    # (tools/profile_payloads.py; the round-1 "payloads are nearly free"
+    # measurement let XLA's sort simplifier DCE unconsumed payloads), so
+    # packing saves ~12-20 ms per frame. The XLA compositor applies the
+    # same bf16 round-trip so both paths stay semantically identical.
+    # bf16 keeps 8 mantissa bits: worst-case alpha shift ~1% right at the
+    # 1/255 cutoff boundary, image abs error ~1e-3 — below the kernel's
+    # existing f32-vs-MXU noise. False = exact f32 payloads (oracle mode).
+    pack_fields: bool = True
+    # Same trick for the backward fold: pair gradients sort back to dense
+    # slot order bf16-packed (5 u32 payloads instead of 9 f32). Error is
+    # ~0.2% of each pair gradient, zero-mean; the parity gate measures
+    # scale-relative error which stays well under the 1% gate.
+    pack_grads: bool = True
+
     # --- kernel selection -------------------------------------------------
     # 'auto': fused Pallas compositor on TPU, portable XLA path elsewhere.
     use_pallas: str = "auto"  # 'auto' | 'always' | 'never'

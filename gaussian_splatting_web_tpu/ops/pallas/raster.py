@@ -5,10 +5,14 @@ math, cutoffs, and early-termination rule), re-architected around what
 profiling showed actually dominates on TPU — the padded per-tile gather:
 
   * splat fields arrive in (tile, depth)-sorted field-major arrays
-    ([8, M] + [4, M]) so a tile's splat list is a contiguous slab. In the
-    fused entry (rasterize_pallas) they are carried through the binning
-    sort as payloads — measured free on v5e, vs ~38 ms at 3M pairs for the
-    row gathers (pack_sorted_fields_split) the payloads replace;
+    (one [8, M] u32 array: bitcast mx, my + four bf16-pair packs, or
+    [8, M] + [4, M] f32 in the exact pack_fields=False mode) so a tile's
+    splat list is a contiguous slab. In the fused entry (rasterize_pallas)
+    they are carried through the binning sort as payloads — cheaper than
+    the row gathers they replace (~38 ms at 3M pairs,
+    pack_sorted_fields_split), but NOT free: ~3.9 ms per payload array at
+    the 1M bench (tools/profile_payloads.py), hence the bf16 packing
+    (config.pack_fields) that carries 7 fields in 4 u32 payloads;
   * each grid step (one 16×16 pixel tile) streams its slab through VMEM in
     [16, KC=128] chunks with double-buffered async DMA at a *dynamic*
     offset — no [tiles × max_per_tile] gather or padding anywhere;
@@ -107,27 +111,43 @@ def _dot_general_bf16x3(x, y, dims):
     return dg(hx, hy) + dg(hx, ly) + dg(lx, hy)
 
 
-R_TILES = 4       # pixel tiles composited per grid step. At 1080p there are
+R_TILES = 8       # pixel tiles composited per grid step. At 1080p there are
                   # 8160 tiles but the mean tile has ~1 slab chunk, so the
                   # kernel is dominated by per-grid-step fixed cost
                   # (prologue, exposed first-chunk DMA latency); batching R
                   # adjacent tiles amortizes it and stacks their pixel rows
                   # into one [R·P, KC] cumsum matmul. Adjacent tiles have
                   # correlated slab lengths, bounding the masked overwork.
+                  # v5e sweep at the 1M/1080p bench (tools/kexp2.py,
+                  # profile_r_tiles.py): r=1 34.5 ms, r=2 26.6, r=4 25.7,
+                  # r=8 23.1. The backward uses its own smaller R
+                  # (raster_bwd.R_TILES_BWD): its live temporaries at r=8
+                  # exceed the 16 MB scoped-VMEM budget.
+
+
+def _bitcast_f32(u):
+    return jax.lax.bitcast_convert_type(u, jnp.float32)
+
+
+def _unpack_hi(u):
+    """Top bf16 half of a u32 pack → f32 (exact; bf16 is f32's top half)."""
+    return _bitcast_f32(u & jnp.uint32(0xFFFF0000))
+
+
+def _unpack_lo(u):
+    return _bitcast_f32(u << 16)
 
 
 def _kernel(
     starts_ref,            # SMEM [T] int32 (scalar prefetch)
     counts_ref,            # SMEM [T] int32 (scalar prefetch)
     tiles_ref,             # SMEM [G_pad] int32 (scalar prefetch): grid→tile
-    f8_hbm,                # ANY [8, M_pad] f32 (mx,my,ca,cb,cc,r,g,b; sorted)
-    f4_hbm,                # ANY [4, M_pad] f32 (opacity,0,0,0; sorted)
-    out_ref,               # VMEM [R, P, 4] f32
-    carr_ref,              # VMEM [R, P, MAXC] f32 out: start-of-chunk log T
-    slab8_ref,             # VMEM scratch [2, R, 8, KC]
-    slab4_ref,             # VMEM scratch [2, R, 4, KC]
-    sem_ref,               # DMA semaphores (2, R, 2)
-    *,
+    *refs,                 # packed: f6_hbm [6, M_pad] u32 (bitcast mx, my,
+                           #   ca|cb, cc|op, r|g, b|0), out, carr, slab6,
+                           #   sem — ONE slab DMA per chunk per tile.
+                           # unpacked: f8_hbm [8, M_pad] f32
+                           #   (mx,my,ca,cb,cc,r,g,b), f4_hbm [4, M_pad]
+                           #   f32 (op,0,0,0), out, carr, slab8, slab4, sem
     gx: int,
     tile_size: int,
     k_cap: int,
@@ -135,7 +155,13 @@ def _kernel(
     alpha_max: float,
     log_eps: float,
     r_tiles: int,
+    packed: bool,
 ):
+    if packed:
+        f6_hbm, out_ref, carr_ref, slab6_ref, sem_ref = refs
+    else:
+        (f8_hbm, f4_hbm, out_ref, carr_ref, slab8_ref, slab4_ref,
+         sem_ref) = refs
     p = tile_size * tile_size
     R = r_tiles
     g0 = pl.program_id(0) * R
@@ -197,31 +223,39 @@ def _kernel(
     lead_col = stack_scalar(leads, jnp.int32)
     total_col = stack_scalar(totals, jnp.int32)
 
-    def dma8(slot, r, c):
-        off = pl.multiple_of(bases[r] + c * KC, KC)
-        return pltpu.make_async_copy(
-            f8_hbm.at[:, pl.ds(off, KC)],
-            slab8_ref.at[slot, r],
-            sem_ref.at[slot, r, 0],
-        )
-
-    def dma4(slot, r, c):
-        off = pl.multiple_of(bases[r] + c * KC, KC)
-        return pltpu.make_async_copy(
-            f4_hbm.at[:, pl.ds(off, KC)],
-            slab4_ref.at[slot, r],
-            sem_ref.at[slot, r, 1],
-        )
+    if packed:
+        def dmas(slot, r, c):
+            off = pl.multiple_of(bases[r] + c * KC, KC)
+            return [pltpu.make_async_copy(
+                f6_hbm.at[:, pl.ds(off, KC)],
+                slab6_ref.at[slot, r],
+                sem_ref.at[slot, r, 0],
+            )]
+    else:
+        def dmas(slot, r, c):
+            off = pl.multiple_of(bases[r] + c * KC, KC)
+            return [
+                pltpu.make_async_copy(
+                    f8_hbm.at[:, pl.ds(off, KC)],
+                    slab8_ref.at[slot, r],
+                    sem_ref.at[slot, r, 0],
+                ),
+                pltpu.make_async_copy(
+                    f4_hbm.at[:, pl.ds(off, KC)],
+                    slab4_ref.at[slot, r],
+                    sem_ref.at[slot, r, 1],
+                ),
+            ]
 
     def dma_start(slot, c):
         for r in range(R):
-            dma8(slot, r, c).start()
-            dma4(slot, r, c).start()
+            for d in dmas(slot, r, c):
+                d.start()
 
     def dma_wait(slot, c):
         for r in range(R):
-            dma8(slot, r, c).wait()
-            dma4(slot, r, c).wait()
+            for d in dmas(slot, r, c):
+                d.wait()
 
     @pl.when(max_chunks > 0)
     def _():
@@ -255,13 +289,30 @@ def _kernel(
         # -½C; -B]; the R results stack along sublanes → [R·P, KC]
         powers = []
         f4s = []
+        op_rows = []
         for r in range(R):
-            slab = slab8_ref[c % 2, r]    # [8, KC]
-            mx = slab[0:1, :] - txs[r]    # tile-local splat center
-            my = slab[1:2, :] - tys[r]
-            ca = slab[2:3, :]
-            cb = slab[3:4, :]
-            cc = slab[4:5, :]
+            if packed:
+                slab = slab6_ref[c % 2, r]            # [6, KC] u32
+                mx = _bitcast_f32(slab[0:1, :]) - txs[r]
+                my = _bitcast_f32(slab[1:2, :]) - tys[r]
+                ca = _unpack_hi(slab[2:3, :])
+                cb = _unpack_lo(slab[2:3, :])
+                cc = _unpack_hi(slab[3:4, :])
+                op_rows.append(_unpack_lo(slab[3:4, :]))
+                rgb_rows = jnp.concatenate([
+                    _unpack_hi(slab[4:5, :]),
+                    _unpack_lo(slab[4:5, :]),
+                    _unpack_hi(slab[5:6, :]),
+                ], axis=0)                            # [3, KC]
+            else:
+                slab = slab8_ref[c % 2, r]            # [8, KC]
+                mx = slab[0:1, :] - txs[r]            # tile-local center
+                my = slab[1:2, :] - tys[r]
+                ca = slab[2:3, :]
+                cb = slab[3:4, :]
+                cc = slab[4:5, :]
+                op_rows.append(slab4_ref[c % 2, r][0:1, :])
+                rgb_rows = slab[5:8, :]
             v_mat = jnp.concatenate(
                 [
                     -(0.5 * ca * mx * mx + cb * mx * my
@@ -278,12 +329,12 @@ def _kernel(
             # u_mat entries are small integers (exact in bf16)
             powers.append(_dot_exact_bf16x3(u_mat, v_mat))
             f4s.append(jnp.concatenate(
-                [slab[5:8, :], jnp.ones((1, KC), jnp.float32)], axis=0
+                [rgb_rows, jnp.ones((1, KC), jnp.float32)], axis=0
             ))                             # rows (r, g, b, 1)
         power = jnp.concatenate(powers, axis=0)          # [R·P, KC]
         op = jnp.concatenate(
-            [jnp.broadcast_to(slab4_ref[c % 2, r][0:1, :], (p, KC))
-             for r in range(R)], axis=0)                 # [R·P, KC]
+            [jnp.broadcast_to(op_rows[r], (p, KC)) for r in range(R)],
+            axis=0)                                      # [R·P, KC]
 
         power = jnp.minimum(power, 0.0)
         alpha = jnp.minimum(op * jnp.exp(power), alpha_max)
@@ -337,18 +388,34 @@ def _kernel(
 
 
 def _sorted_fields_t(
-    splats: ProjectedSplats, bins: TileBins, k_cap: int
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """([8, M+pad], [4, M+pad]) field-major sorted splat arrays for slab DMA.
+    splats: ProjectedSplats, bins: TileBins, k_cap: int,
+    quantize: bool = False,
+) -> tuple[jnp.ndarray, ...]:
+    """Field-major sorted splat arrays for slab DMA: a 1-tuple
+    ([6, M+pad] u32 — bitcast mx, my + 4 bf16-pair packs) when the bins
+    carry packed payloads (config.pack_fields), else ([8, M+pad] f32,
+    [4, M+pad] f32).
 
     Fast path: bins carries the fields as sort payloads
     (bin_splats(carry_fields=True)) — assembling the slab arrays is a pad +
     stack, no gather at all. Fallback: the split-row gather
-    (rasterize.pack_sorted_fields_split), ~38 ms at 3M pairs on v5e vs ~0
+    (rasterize.pack_sorted_fields_split), ~38 ms at 3M pairs on v5e vs ~2
     for the payload path.
     """
+    pad = k_cap + KC
+    if bins.sorted_fields is not None and bins.fields_packed:
+        fs = [jnp.pad(f, (0, pad)) for f in bins.sorted_fields]
+        z = jnp.zeros_like(fs[2])  # u32
+        # 8 rows (6 used + 2 zero): Mosaic requires DMA slice leading dims
+        # aligned to the (8, 128) sublane tiling
+        f6 = jnp.stack(
+            [jax.lax.bitcast_convert_type(fs[0], jnp.uint32),
+             jax.lax.bitcast_convert_type(fs[1], jnp.uint32)]
+            + fs[2:6] + [z, z],
+            axis=0,
+        )                                                     # [8, M+pad]
+        return (f6,)
     if bins.sorted_fields is not None:
-        pad = k_cap + KC
         fs = [jnp.pad(f, (0, pad)) for f in bins.sorted_fields]
         f8_t = jnp.stack(fs[:8], axis=0)                      # [8, M+pad]
         z = jnp.zeros_like(fs[8])
@@ -357,7 +424,8 @@ def _sorted_fields_t(
 
     from ..rasterize import pack_sorted_fields_split
 
-    f8, f4 = pack_sorted_fields_split(splats, bins, pad=k_cap + KC)
+    f8, f4 = pack_sorted_fields_split(
+        splats, bins, pad=k_cap + KC, quantize=quantize)
     return f8.T, f4.T
 
 
@@ -390,7 +458,8 @@ def composite_tiles_pallas(
         tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     grid_n = tile_ids.shape[0]
     if fields_t is None:
-        fields_t = _sorted_fields_t(splats, bins, k_cap)
+        fields_t = _sorted_fields_t(splats, bins, k_cap,
+                                    quantize=config.pack_fields)
 
     # R tiles per grid step; pad the tile list with the sentinel id
     # num_tiles, whose start/count lookup row is 0 (empty segment) — padding
@@ -408,6 +477,7 @@ def composite_tiles_pallas(
         [jnp.minimum(bins.tile_count, k_cap),
          jnp.zeros((1,), bins.tile_count.dtype)]).astype(jnp.int32)
 
+    packed = len(fields_t) == 1
     kernel = functools.partial(
         _kernel,
         gx=gx,
@@ -417,24 +487,29 @@ def composite_tiles_pallas(
         alpha_max=config.alpha_max,
         log_eps=float(math.log(config.transmittance_eps)),
         r_tiles=r,
+        packed=packed,
     )
+    if packed:
+        scratch = [
+            pltpu.VMEM((2, r, 8, KC), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2, r, 1)),
+        ]
+    else:
+        scratch = [
+            pltpu.VMEM((2, r, 8, KC), jnp.float32),
+            pltpu.VMEM((2, r, 4, KC), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, r, 2)),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_groups,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(fields_t),
         out_specs=(
             pl.BlockSpec((r, p, 4), lambda g, starts, counts, tiles: (g, 0, 0)),
             pl.BlockSpec((r, p, maxc),
                          lambda g, starts, counts, tiles: (g, 0, 0)),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((2, r, 8, KC), jnp.float32),
-            pltpu.VMEM((2, r, 4, KC), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, r, 2)),
-        ],
+        scratch_shapes=scratch,
     )
     out, carries = pl.pallas_call(
         kernel,
@@ -444,31 +519,26 @@ def composite_tiles_pallas(
             jax.ShapeDtypeStruct((n_groups * r, p, maxc), jnp.float32),
         ),
         interpret=interpret,
-    )(starts_s, counts_s, tiles_padded, fields_t[0], fields_t[1])
+    )(starts_s, counts_s, tiles_padded, *fields_t)
     return out[:grid_n], carries[:grid_n], fields_t
 
 
-def _grouping_order(bins: TileBins) -> jnp.ndarray:
-    """Tile processing order for the full-image path: descending slab
-    length. R-tile groups walk in lockstep to the group max chunk count,
-    so grouping similar-length tiles minimizes the masked overwork (an
-    argsort of num_tiles counts — trivial next to the pair sort)."""
-    return jnp.argsort(-bins.tile_count).astype(jnp.int32)
-
-
 def _forward(splats, bins, width, height, config, interpret=False):
+    # Tiles run in row-major order. A count-sorted grouping order (argsort
+    # of tile_count, so R-tile groups walk lockstep over similar slab
+    # lengths) was measured on v5e at the 1M/1080p bench and REJECTED: the
+    # kernel time is unchanged (row-major adjacency already correlates
+    # counts) while the order argsort + runtime-index tile permutation add
+    # ~17 ms to the full forward (tools/profile_fullfwd.py).
     from ..rasterize import assemble_image
 
     ts = config.tile_size
     gx, gy = config.grid_size(width, height)
-    order = _grouping_order(bins)
     tiles, carries, fields_t = composite_tiles_pallas(
         splats, bins, width, height, config, interpret=interpret,
-        tile_ids=order,
     )
-    inv = jnp.argsort(order)
     out = assemble_image(
-        tiles[inv].reshape(-1, ts, ts, 4), width, height, gx, gy
+        tiles.reshape(-1, ts, ts, 4), width, height, gx, gy
     )
     return (out[..., :3], out[..., 3]), carries, fields_t
 
@@ -506,27 +576,33 @@ def _cot_to_tiles(cotangent, width, height, config):
     return cot.reshape(gx * gy, ts * ts, 4)
 
 
-def _fold_pair_grads(dpairs: jnp.ndarray, bins: TileBins, n: int) -> jnp.ndarray:
+def _fold_pair_grads(dpairs: jnp.ndarray, bins: TileBins, n: int,
+                     config: RenderConfig) -> jnp.ndarray:
     """Fold the (tile,depth)-sorted pair gradients [F_PAD, M_pad] onto
     splats → [N, 9] (d_mean2d ×2, d_conic ×3, d_rgb ×3, d_opacity).
 
     Measured v5e alternatives at the 1M/1080p bench (tools/profile_r2.py):
     scatter-add `segment_sum` over unsorted gaussian ids 239 ms; the round-1
     invert-the-permutation fold (u32 sort of (slot, position) + dense row
-    gathers at 5M slot positions) 65.5 ms — the gathers dominate. Since
-    extra lax.sort payloads are nearly free (17.5 ms at 1 payload → 18.2 ms
-    at 11, same tool), the cheapest fold is to SORT THE GRADIENTS BACK:
-    key = bins.sorted_slot (the position→slot permutation the binning sort
-    recorded), payloads = the 9 gradient rows padded to n_slots. One
-    single-key sort yields gradients in DENSE slot order — every slot
-    exactly once — so the reduction onto splats is a static reshape-sum
-    over the [N, dₐ] tier-A grid plus a tiny segment-sum over the nb_cap
-    compacted big splats (tier B). No gathers anywhere. Pairs truncated by
-    gather_cap_factor carry zero gradient (their slots pad the key array's
-    tail), and lanes the kernel masked dead wrote zeros, so density is
-    exact.
+    gathers at 5M slot positions) 65.5 ms — the gathers dominate. The
+    cheapest fold is to SORT THE GRADIENTS BACK: key = bins.sorted_slot
+    (the position→slot permutation the binning sort recorded), payloads =
+    the gradient rows padded to n_slots. One single-key sort yields
+    gradients in DENSE slot order — every slot exactly once — so the
+    reduction onto splats is a static reshape-sum over the [N, dₐ] tier-A
+    grid plus a tiny segment-sum over the nb_cap compacted big splats
+    (tier B). No gathers anywhere. Pairs truncated by gather_cap_factor
+    carry zero gradient (their slots pad the key array's tail), and lanes
+    the kernel masked dead wrote zeros, so density is exact.
+
+    Sort payloads cost ~3.9 ms each at the bench scale
+    (tools/profile_payloads.py), so with config.pack_grads the 9 gradient
+    rows ride bf16-packed in 5 u32 payloads (pack_bf16_pair): ~0.2%
+    rounding per pair gradient, zero-mean, well inside the 1% parity gate.
     """
-    cap = bins.sorted_gidx.shape[0]        # truncated pair count
+    from ..sort import pack_bf16_pair, unpack_bf16_pair
+
+    cap = bins.pair_cap                    # truncated pair count
     n_slots = bins.sorted_slot.shape[0]
     d_a = bins.tier_a_width
     d_b = bins.tier_b_width
@@ -543,9 +619,27 @@ def _fold_pair_grads(dpairs: jnp.ndarray, bins: TileBins, n: int) -> jnp.ndarray
         ])
         for k in range(9)
     )
-    sorted_back = jax.lax.sort(
-        (bins.sorted_slot.astype(jnp.uint32),) + rows, num_keys=1
-    )[1:]
+    if config.pack_grads:
+        z = jnp.zeros_like(rows[8])
+        packs = (
+            pack_bf16_pair(rows[0], rows[1]),
+            pack_bf16_pair(rows[2], rows[3]),
+            pack_bf16_pair(rows[4], rows[5]),
+            pack_bf16_pair(rows[6], rows[7]),
+            pack_bf16_pair(rows[8], z),
+        )
+        sorted_packs = jax.lax.sort(
+            (bins.sorted_slot.astype(jnp.uint32),) + packs, num_keys=1
+        )[1:]
+        sorted_back = []
+        for u in sorted_packs:
+            hi, lo = unpack_bf16_pair(u)
+            sorted_back += [hi, lo]
+        sorted_back = sorted_back[:9]
+    else:
+        sorted_back = jax.lax.sort(
+            (bins.sorted_slot.astype(jnp.uint32),) + rows, num_keys=1
+        )[1:]
     seg = jnp.stack(
         [r[: n * d_a].reshape(n, d_a).sum(axis=1) for r in sorted_back],
         axis=1,
@@ -568,15 +662,12 @@ def _bwd(width, height, config, interpret, residuals, cotangent):
     splats, bins, carries, fields_t = residuals
     n = splats.depth.shape[0]
 
-    # carries were produced in count-sorted grouping order (see _forward);
-    # permute the cotangents the same way
-    order = _grouping_order(bins)
-    cot_tiles = _cot_to_tiles(cotangent, width, height, config)[order]
+    cot_tiles = _cot_to_tiles(cotangent, width, height, config)
     dpairs = backward_pair_grads(
         fields_t, carries, cot_tiles, bins.tile_start, bins.tile_count,
-        width, height, config, interpret=interpret, tile_ids=order,
+        width, height, config, interpret=interpret,
     )
-    seg = _fold_pair_grads(dpairs, bins, n)
+    seg = _fold_pair_grads(dpairs, bins, n, config)
 
     f0 = np.zeros((), jax.dtypes.float0)
 
@@ -643,7 +734,7 @@ def _bwd_subset(width, height, config, interpret, residuals, cot_tiles):
         fields_t, carries, cot_tiles, bins.tile_start, bins.tile_count,
         width, height, config, interpret=interpret, tile_ids=tile_ids,
     )
-    seg = _fold_pair_grads(dpairs, bins, n)
+    seg = _fold_pair_grads(dpairs, bins, n, config)
     d_splats = ProjectedSplats(
         mean2d=seg[:, 0:2],
         conic=seg[:, 2:5],

@@ -39,25 +39,34 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...config import RenderConfig
 from .raster import (
-    F_PAD, KC, R_TILES, _dot_bf16x2, _dot_exact_bf16x3, _dot_general_bf16x3,
+    F_PAD, KC, _bitcast_f32, _dot_bf16x2, _dot_exact_bf16x3,
+    _dot_general_bf16x3, _unpack_hi, _unpack_lo,
 )
+
+R_TILES_BWD = 1   # tiles per backward grid step. Unlike the forward, the
+                  # backward gets NO grouping win — the RMW read/write
+                  # chain per tile dominates its pipeline (v5e sweep:
+                  # r=1 44.7 ms, r=2 44.8, r=4 51.0, r=8 scoped-VMEM OOM;
+                  # tools/profile_r_tiles.py) — and r=1 also shrinks the
+                  # pair-gradient array to one F_PAD row group, which
+                  # quarters the fold's group-sum traffic vs r=4.
 
 
 def _bwd_kernel(
     starts_ref,            # SMEM [T+1] int32 (sentinel row 0 at the end)
     counts_ref,            # SMEM [T+1] int32
     tiles_ref,             # SMEM [G_pad] int32: grid→tile id (num_tiles=pad)
-    f8_hbm,                # ANY [8, M_pad] f32 (mx,my,ca,cb,cc,r,g,b)
-    f4_hbm,                # ANY [4, M_pad] f32 (opacity,0,0,0)
-    carries_ref,           # VMEM [R, P, MAXC] f32 (start-of-chunk log T)
-    cot_ref,               # VMEM [R, P, 4] f32 (g_r, g_g, g_b, g_alpha)
-    dzero_hbm,             # ANY  [R·F_PAD, M_pad] f32 (zeros, aliased to out)
-    dpairs_hbm,            # ANY  [R·F_PAD, M_pad] f32 out (aliased)
-    slab8_ref,             # VMEM scratch [2, R, 8, KC]
-    slab4_ref,             # VMEM scratch [2, R, 4, KC]
-    rmw_ref,               # VMEM scratch [2, R, F_PAD, KC]
-    sem_ref,               # DMA semaphores (4, R, 2): slab8/slab4/rd/wr
-    *,
+    *refs,                 # packed: f6_hbm [6, M_pad] u32 (bitcast mx, my,
+                           #   ca|cb, cc|op, r|g, b|0), carries, cot,
+                           #   dzero, dpairs, slab6, rmw, sem.
+                           # unpacked: f8_hbm [8, M_pad] f32, f4_hbm
+                           #   [4, M_pad] f32, carries, cot, dzero, dpairs,
+                           #   slab8, slab4, rmw, sem.
+                           # carries VMEM [R, P, MAXC] f32 (start-of-chunk
+                           # log T); cot VMEM [R, P, 4]; dzero/dpairs ANY
+                           # [R·F_PAD, M_pad] f32 (aliased in/out); rmw
+                           # VMEM scratch [2, R, F_PAD, KC]; sem DMA
+                           # semaphores (4, R, 2)
     gx: int,
     tile_size: int,
     k_cap: int,
@@ -65,7 +74,14 @@ def _bwd_kernel(
     alpha_max: float,
     log_eps: float,
     r_tiles: int,
+    packed: bool,
 ):
+    if packed:
+        (f6_hbm, carries_ref, cot_ref, dzero_hbm, dpairs_hbm, slab6_ref,
+         rmw_ref, sem_ref) = refs
+    else:
+        (f8_hbm, f4_hbm, carries_ref, cot_ref, dzero_hbm, dpairs_hbm,
+         slab8_ref, slab4_ref, rmw_ref, sem_ref) = refs
     del dzero_hbm
     p = tile_size * tile_size
     R = r_tiles
@@ -139,21 +155,29 @@ def _bwd_kernel(
         guard with i < useful_r)."""
         return jnp.maximum(useful_r[r] - 1 - i, 0)
 
-    def slab8_dma(slot, r, c):
-        off = pl.multiple_of(bases[r] + c * KC, KC)
-        return pltpu.make_async_copy(
-            f8_hbm.at[:, pl.ds(off, KC)],
-            slab8_ref.at[slot, r],
-            sem_ref.at[0, r, slot],
-        )
-
-    def slab4_dma(slot, r, c):
-        off = pl.multiple_of(bases[r] + c * KC, KC)
-        return pltpu.make_async_copy(
-            f4_hbm.at[:, pl.ds(off, KC)],
-            slab4_ref.at[slot, r],
-            sem_ref.at[1, r, slot],
-        )
+    if packed:
+        def slab_dmas(slot, r, c):
+            off = pl.multiple_of(bases[r] + c * KC, KC)
+            return [pltpu.make_async_copy(
+                f6_hbm.at[:, pl.ds(off, KC)],
+                slab6_ref.at[slot, r],
+                sem_ref.at[0, r, slot],
+            )]
+    else:
+        def slab_dmas(slot, r, c):
+            off = pl.multiple_of(bases[r] + c * KC, KC)
+            return [
+                pltpu.make_async_copy(
+                    f8_hbm.at[:, pl.ds(off, KC)],
+                    slab8_ref.at[slot, r],
+                    sem_ref.at[0, r, slot],
+                ),
+                pltpu.make_async_copy(
+                    f4_hbm.at[:, pl.ds(off, KC)],
+                    slab4_ref.at[slot, r],
+                    sem_ref.at[1, r, slot],
+                ),
+            ]
 
     def rmw_read_dma(slot, r, c):
         off = pl.multiple_of(bases[r] + c * KC, KC)
@@ -171,11 +195,38 @@ def _bwd_kernel(
             sem_ref.at[3, r, slot],
         )
 
+    def read_slab(s, r):
+        """(mx, my, ca, cb, cc, rgb_rows [3, KC], op_row [1, KC]) from the
+        resident slab, decoding the bf16-pair packing when packed."""
+        if packed:
+            slab = slab6_ref[s, r]                    # [6, KC] u32
+            mx = _bitcast_f32(slab[0:1, :]) - txs[r]
+            my = _bitcast_f32(slab[1:2, :]) - tys[r]
+            ca = _unpack_hi(slab[2:3, :])
+            cb = _unpack_lo(slab[2:3, :])
+            cc = _unpack_hi(slab[3:4, :])
+            op_row = _unpack_lo(slab[3:4, :])
+            rgb_rows = jnp.concatenate([
+                _unpack_hi(slab[4:5, :]),
+                _unpack_lo(slab[4:5, :]),
+                _unpack_hi(slab[5:6, :]),
+            ], axis=0)
+        else:
+            slab = slab8_ref[s, r]                    # [8, KC]
+            mx = slab[0:1, :] - txs[r]
+            my = slab[1:2, :] - tys[r]
+            ca = slab[2:3, :]
+            cb = slab[3:4, :]
+            cc = slab[4:5, :]
+            op_row = slab4_ref[s, r][0:1, :]
+            rgb_rows = slab[5:8, :]
+        return mx, my, ca, cb, cc, rgb_rows, op_row
+
     for r in range(R):
         @pl.when(useful_r[r] > 0)
         def _(r=r):
-            slab8_dma(0, r, c_of(r, 0)).start()
-            slab4_dma(0, r, c_of(r, 0)).start()
+            for d in slab_dmas(0, r, c_of(r, 0)):
+                d.start()
             rmw_read_dma(0, r, c_of(r, 0)).start()
 
     def body(i, s_carry):
@@ -185,11 +236,12 @@ def _bwd_kernel(
         for r in range(R):
             @pl.when(i + 1 < useful_r[r])
             def _(r=r):
-                slab8_dma((i + 1) % 2, r, c_of(r, i + 1)).start()
-                slab4_dma((i + 1) % 2, r, c_of(r, i + 1)).start()
+                for d in slab_dmas((i + 1) % 2, r, c_of(r, i + 1)):
+                    d.start()
 
         # alpha recompute: same rank-6 bilinear form as the forward kernel
         powers, f4s, carry_cs, gcols = [], [], [], []
+        op_rows = []
         active_flags = []
         for r in range(R):
             active = i < useful_r[r]
@@ -198,15 +250,11 @@ def _bwd_kernel(
 
             @pl.when(active)
             def _(r=r, c=c):
-                slab8_dma(s, r, c).wait()
-                slab4_dma(s, r, c).wait()
+                for d in slab_dmas(s, r, c):
+                    d.wait()
 
-            slab = slab8_ref[s, r]
-            mx = slab[0:1, :] - txs[r]
-            my = slab[1:2, :] - tys[r]
-            ca = slab[2:3, :]
-            cb = slab[3:4, :]
-            cc = slab[4:5, :]
+            mx, my, ca, cb, cc, rgb_rows, op_row = read_slab(s, r)
+            op_rows.append(op_row)
             v_mat = jnp.concatenate(
                 [
                     -(0.5 * ca * mx * mx + cb * mx * my
@@ -222,7 +270,7 @@ def _bwd_kernel(
             )
             powers.append(_dot_exact_bf16x3(u_mat, v_mat))
             f4s.append(jnp.concatenate(
-                [slab[5:8, :], jnp.ones((1, KC), jnp.float32)], axis=0
+                [rgb_rows, jnp.ones((1, KC), jnp.float32)], axis=0
             ))
             # single-lane carry reads need static offsets → switch over the
             # (small, static) chunk index
@@ -235,7 +283,7 @@ def _bwd_kernel(
 
         raw_power = jnp.concatenate(powers, axis=0)        # [R·P, KC]
         op = jnp.concatenate(
-            [jnp.broadcast_to(slab4_ref[s, r][0:1, :], (p, KC))
+            [jnp.broadcast_to(op_rows[r], (p, KC))
              for r in range(R)], axis=0)
         g_idx = jnp.concatenate(
             [jnp.broadcast_to(gcols[r], (p, KC)) for r in range(R)], axis=0)
@@ -287,12 +335,7 @@ def _bwd_kernel(
 
         for r in range(R):
             rows = slice(r * p, (r + 1) * p)
-            slab = slab8_ref[s, r]
-            mx = slab[0:1, :] - txs[r]
-            my = slab[1:2, :] - tys[r]
-            ca = slab[2:3, :]
-            cb = slab[3:4, :]
-            cc = slab[4:5, :]
+            mx, my, ca, cb, cc, _, _ = read_slab(s, r)
 
             d_op = jnp.sum(da_pre[rows] * e_pow[rows], axis=0, keepdims=True)
 
@@ -379,7 +422,8 @@ def _bwd_kernel(
 
 
 def backward_pair_grads(
-    fields_t,                     # ([8, M_pad], [4, M_pad]) from _sorted_fields_t
+    fields_t,                     # _sorted_fields_t output: ([6, M_pad] u32)
+                                  # packed, or ([8, M_pad], [4, M_pad]) f32
     carries: jnp.ndarray,         # [G, P, MAXC] forward carries
     cot_tiles: jnp.ndarray,       # [G, P, 4] cotangents per tile pixel
     tile_start: jnp.ndarray,
@@ -395,7 +439,7 @@ def backward_pair_grads(
 
     Row group g holds the gradients accumulated by tiles at in-group
     position g; the fold sums groups (raster._fold_pair_grads)."""
-    f8_t, f4_t = fields_t
+    packed = len(fields_t) == 1
     ts = config.tile_size
     gx, gy = config.grid_size(width, height)
     num_tiles = gx * gy
@@ -405,9 +449,9 @@ def backward_pair_grads(
     p = ts * ts
     k_cap = max(KC, ((config.max_per_tile + KC - 1) // KC) * KC)
     maxc = carries.shape[-1]
-    m_pad = f8_t.shape[1]
+    m_pad = fields_t[0].shape[1]
 
-    r = min(r_tiles or R_TILES, grid_n)
+    r = min(r_tiles or R_TILES_BWD, grid_n)
     n_groups = -(-grid_n // r)
     pad = n_groups * r - grid_n
     tiles_padded = jnp.concatenate(
@@ -432,39 +476,48 @@ def backward_pair_grads(
         alpha_max=config.alpha_max,
         log_eps=float(math.log(config.transmittance_eps)),
         r_tiles=r,
+        packed=packed,
     )
+    if packed:
+        slab_scratch = [pltpu.VMEM((2, r, 8, KC), jnp.uint32)]
+    else:
+        slab_scratch = [
+            pltpu.VMEM((2, r, 8, KC), jnp.float32),
+            pltpu.VMEM((2, r, 4, KC), jnp.float32),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_groups,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),                         # f8
-            pl.BlockSpec(memory_space=pl.ANY),                         # f4
-            pl.BlockSpec((r, p, maxc), lambda g, s, c, t: (g, 0, 0)),  # carries
-            pl.BlockSpec((r, p, 4), lambda g, s, c, t: (g, 0, 0)),     # cot
-            pl.BlockSpec(memory_space=pl.ANY),                         # dzero
-        ],
+        in_specs=(
+            [pl.BlockSpec(memory_space=pl.ANY)] * len(fields_t)        # slabs
+            + [
+                pl.BlockSpec((r, p, maxc),
+                             lambda g, s, c, t: (g, 0, 0)),            # carries
+                pl.BlockSpec((r, p, 4), lambda g, s, c, t: (g, 0, 0)),  # cot
+                pl.BlockSpec(memory_space=pl.ANY),                     # dzero
+            ]
+        ),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((2, r, 8, KC), jnp.float32),
-            pltpu.VMEM((2, r, 4, KC), jnp.float32),
+        scratch_shapes=slab_scratch + [
             pltpu.VMEM((2, r, F_PAD, KC), jnp.float32),
             pltpu.SemaphoreType.DMA((4, r, 2)),
         ],
     )
     dzero = jnp.zeros((r * F_PAD, m_pad), jnp.float32)
+    # flat input index of dzero incl. the 3 scalar-prefetch args
+    dzero_idx = 3 + len(fields_t) + 2
     dpairs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((r * F_PAD, m_pad), jnp.float32),
-        input_output_aliases={7: 0},  # flat input index incl. scalar prefetch
+        input_output_aliases={dzero_idx: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(
         starts_s,
         counts_s,
         tiles_padded,
-        f8_t,
-        f4_t,
+        *fields_t,
         carries_p,
         cot_p,
         dzero,

@@ -44,7 +44,8 @@ FIELD_ROW = 16   # row width the fields are padded to before the gather
 
 
 def pack_sorted_fields(
-    splats: ProjectedSplats, bins: TileBins, pad: int
+    splats: ProjectedSplats, bins: TileBins, pad: int,
+    quantize: bool = False,
 ) -> jnp.ndarray:
     """Gather splat appearance fields into (tile, depth)-sorted pair order.
 
@@ -56,18 +57,26 @@ def pack_sorted_fields(
     gather: 64-byte aligned rows gather ~5x faster than 36-byte ones
     (measured 4.8 vs 27 ns/row on v5e). `pad` zero rows keep end-of-array
     slices in bounds.
+
+    With `quantize` (config.pack_fields), conic/rgb/opacity go through the
+    same bf16 round-trip the fused kernel's packed sort payloads apply
+    (ops.sort.pack_bf16_pair), keeping the two compositor paths
+    semantically identical under the shipped config.
     """
+    from .sort import quantize_bf16
+
+    q = quantize_bf16 if quantize else (lambda x: x)
     packed = jnp.stack(
         [
             splats.mean2d[:, 0],
             splats.mean2d[:, 1],
-            splats.conic[:, 0],
-            splats.conic[:, 1],
-            splats.conic[:, 2],
-            splats.rgb[:, 0],
-            splats.rgb[:, 1],
-            splats.rgb[:, 2],
-            splats.opacity,
+            q(splats.conic[:, 0]),
+            q(splats.conic[:, 1]),
+            q(splats.conic[:, 2]),
+            q(splats.rgb[:, 0]),
+            q(splats.rgb[:, 1]),
+            q(splats.rgb[:, 2]),
+            q(splats.opacity),
         ]
         + [jnp.zeros_like(splats.opacity)] * (FIELD_ROW - NUM_FIELDS),
         axis=-1,
@@ -79,7 +88,8 @@ def pack_sorted_fields(
 
 
 def pack_sorted_fields_split(
-    splats: ProjectedSplats, bins: TileBins, pad: int
+    splats: ProjectedSplats, bins: TileBins, pad: int,
+    quantize: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Gather splat fields into pair order as TWO narrow row arrays:
     [M+pad, 8] = (mx, my, conic_a, conic_b, conic_c, r, g, b) and
@@ -89,22 +99,28 @@ def pack_sorted_fields_split(
     14.9 ns/row at 64 B vs 5.6 ns/row at 32 B at 3M rows), so one 64-byte
     gather loses to an aligned 32-byte + 16-byte pair by ~40%. The Pallas
     compositor streams the two arrays with two DMAs per chunk.
+
+    `quantize` applies the config.pack_fields bf16 round-trip (see
+    pack_sorted_fields) so this fallback matches the payload path.
     """
+    from .sort import quantize_bf16
+
+    q = quantize_bf16 if quantize else (lambda x: x)
     z = jnp.zeros_like(splats.opacity)
     p8 = jnp.stack(
         [
             splats.mean2d[:, 0],
             splats.mean2d[:, 1],
-            splats.conic[:, 0],
-            splats.conic[:, 1],
-            splats.conic[:, 2],
-            splats.rgb[:, 0],
-            splats.rgb[:, 1],
-            splats.rgb[:, 2],
+            q(splats.conic[:, 0]),
+            q(splats.conic[:, 1]),
+            q(splats.conic[:, 2]),
+            q(splats.rgb[:, 0]),
+            q(splats.rgb[:, 1]),
+            q(splats.rgb[:, 2]),
         ],
         axis=-1,
     )
-    p4 = jnp.stack([splats.opacity, z, z, z], axis=-1)
+    p4 = jnp.stack([q(splats.opacity), z, z, z], axis=-1)
     s8 = p8[bins.sorted_gidx]
     s4 = p4[bins.sorted_gidx]
     return (
@@ -203,7 +219,9 @@ def composite_tiles(
     n_chunks = tile_ids.shape[0] // chunk
     assert n_chunks * chunk == tile_ids.shape[0], "pad tile_ids to a chunk multiple"
 
-    sorted_fields = pack_sorted_fields(splats, bins, pad=config.max_per_tile)
+    sorted_fields = pack_sorted_fields(
+        splats, bins, pad=config.max_per_tile,
+        quantize=config.pack_fields)
     body = jax.checkpoint(
         partial(
             _composite_chunk,

@@ -36,20 +36,29 @@ from .projection import ProjectedSplats
 class TileBins:
     """Sorted splat→tile assignment.
 
-    sorted_gidx:  [M] gaussian index per (tile, depth)-sorted pair.
-    tile_start:   [T] offset of each tile's segment in sorted_gidx.
+    sorted_gidx:  [M] gaussian index per (tile, depth)-sorted pair, or
+                  None in carry_fields mode — the fused-kernel path never
+                  gathers by gaussian id, and each extra sort payload
+                  costs ~3.9 ms at the 1M bench (tools/profile_payloads).
+    pair_cap:     static M (the truncated pair count; sorted_gidx.shape[0]
+                  when sorted_gidx exists).
+    tile_start:   [T] offset of each tile's segment in the sorted pairs.
     tile_count:   [T] segment length per tile.
     num_pairs:    [] total live pairs (observability).
     overflow:     [] gaussians whose tile footprint was truncated at max_dup.
-    sorted_fields: None, or a 9-tuple of [M] f32 arrays (mx, my, conic_a,
-                  conic_b, conic_c, r, g, b, opacity) already in (tile,
-                  depth)-sorted pair order — the splat appearance fields
-                  carried through the sort as extra payloads
-                  (carry_fields=True). Measured on v5e at 5M slots
-                  (tools/profile_r2.py), extra sort payloads are nearly
-                  free (17.5 ms at 1 payload → 18.2 ms at 11) while the
-                  row gathers they replace cost ~24 ms at 3M pairs — XLA's
-                  gather is ~5-7 ns/row regardless of index locality.
+    sorted_fields: None, or the splat appearance fields carried through
+                  the sort as extra payloads in (tile, depth)-sorted pair
+                  order (carry_fields=True). With fields_packed (the
+                  config.pack_fields default) this is a 6-tuple
+                  (mx f32, my f32, ca|cb, cc|op, r|g, b|0 — u32 bf16
+                  pairs, see pack_bf16_pair); otherwise the exact 9-tuple
+                  of f32 arrays (mx, my, conic_a, conic_b, conic_c, r, g,
+                  b, opacity). Payloads beat the row gathers they replace
+                  (~24 ms at 3M pairs) but are NOT free: ~3.9 ms per
+                  payload array at 4.25M slots on v5e
+                  (tools/profile_payloads.py — round 1 concluded "nearly
+                  free" from a measurement where XLA's sort simplifier had
+                  DCE'd the unconsumed payloads), hence the packing.
     sorted_slot:  [n_slots] FULL sort permutation: position → originating
                   slot id (tier A slot g·dₐ+k, tier B slot n·dₐ + j·d + k).
                   Untruncated so the backward can sort the pair gradients
@@ -64,7 +73,7 @@ class TileBins:
     tier_b_width: static d for tier B rows (0 = single tier).
     """
 
-    sorted_gidx: jax.Array
+    sorted_gidx: jax.Array | None
     tile_start: jax.Array
     tile_count: jax.Array
     num_pairs: jax.Array
@@ -74,14 +83,55 @@ class TileBins:
     sorted_fields: tuple | None = None
     tier_a_width: int = 0
     tier_b_width: int = 0
+    pair_cap: int = 0
+    fields_packed: bool = False
 
 
 jax.tree_util.register_dataclass(
     TileBins,
     data_fields=["sorted_gidx", "tile_start", "tile_count", "num_pairs",
                  "overflow", "sorted_slot", "idx_b", "sorted_fields"],
-    meta_fields=["tier_a_width", "tier_b_width"],
+    meta_fields=["tier_a_width", "tier_b_width", "pair_cap",
+                 "fields_packed"],
 )
+
+
+def pack_bf16_pair(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
+    """Round two f32 arrays to bf16 and pack them into one u32 (hi in the
+    top 16 bits). bf16 is the top half of f32, so the kernel-side unpack is
+    two integer ops + a same-width bitcast — no 16-bit vectors needed:
+    hi = bitcast(u & 0xFFFF0000, f32), lo = bitcast(u << 16, f32)."""
+    h = jax.lax.bitcast_convert_type(
+        hi.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    l = jax.lax.bitcast_convert_type(
+        lo.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    return (h << 16) | l
+
+
+def unpack_bf16_pair(u: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Inverse of pack_bf16_pair → (hi f32, lo f32), exact."""
+    hi = jax.lax.bitcast_convert_type(u & jnp.uint32(0xFFFF0000), jnp.float32)
+    lo = jax.lax.bitcast_convert_type(u << 16, jnp.float32)
+    return hi, lo
+
+
+@jax.custom_jvp
+def quantize_bf16(x: jnp.ndarray) -> jnp.ndarray:
+    """bf16 round-trip (the rounding pack_bf16_pair applies). The XLA
+    compositor applies this to the packed fields so both compositor paths
+    see identical values when config.pack_fields is on.
+
+    Straight-through gradient: a plain bf16 cast would round the COTANGENT
+    to bf16 in the backward pass, while the fused kernel computes f32
+    gradients with respect to the quantized values — the straight-through
+    rule makes both paths' gradients identical."""
+    return x.astype(jnp.bfloat16).astype(jnp.float32)
+
+
+@quantize_bf16.defjvp
+def _quantize_bf16_jvp(primals, tangents):
+    (x,), (t,) = primals, tangents
+    return quantize_bf16(x), t
 
 
 def float_to_sortable_uint(f: jnp.ndarray) -> jnp.ndarray:
@@ -211,7 +261,7 @@ def candidate_slot_tiles(x0, y0, rw, ntg, d, gx, num_tiles, ts, rows=None):
 
 
 def sort_pair_arrays(tiers, field_payloads, num_tiles, n, num_pairs,
-                     overflow, config: RenderConfig):
+                     overflow, config: RenderConfig, with_gidx: bool = True):
     """Sort (tile, depth) pair tiers into per-tile depth-ordered segments.
 
     `tiers` is a list of (tile_id [R, d] with `num_tiles` sentinel,
@@ -221,8 +271,12 @@ def sort_pair_arrays(tiers, field_payloads, num_tiles, n, num_pairs,
     gather-cap truncation. Shared by bin_splats and the gaussian-sharded
     ring path (parallel.gaussian_sharded).
 
+    `with_gidx=False` drops the gaussian-index payload (the fused-kernel
+    path never gathers by id; sorted_gidx returns None) — each payload
+    array costs ~3.9 ms at the 1M bench (tools/profile_payloads.py).
+
     Returns (sorted_gidx, sorted_slot, sorted_fields, tile_start,
-    tile_count, num_pairs, overflow)."""
+    tile_count, num_pairs, overflow, pair_cap)."""
     tile_bits = max(int(num_tiles + 1).bit_length(), 1)
     depth_bits = min(config.depth_bits, 32 - tile_bits)
 
@@ -238,10 +292,13 @@ def sort_pair_arrays(tiers, field_payloads, num_tiles, n, num_pairs,
         # slot payload: the concatenated flat index IS the slot id (tier A
         # row-major [n, dₐ], then tier B [nb_cap, d])
         slot_iota = jnp.arange(keys.shape[0], dtype=jnp.int32)
-        sorted_key, sorted_gidx, sorted_slot, *sorted_fields = jax.lax.sort(
-            (keys, jnp.concatenate(gidxs), slot_iota) + tuple(field_payloads),
+        gidx_ops = (jnp.concatenate(gidxs),) if with_gidx else ()
+        sorted_key, *rest = jax.lax.sort(
+            (keys,) + gidx_ops + (slot_iota,) + tuple(field_payloads),
             num_keys=1,
         )
+        sorted_gidx = rest.pop(0) if with_gidx else None
+        sorted_slot, *sorted_fields = rest
         bounds = jnp.arange(num_tiles + 1, dtype=jnp.uint32) << depth_bits
         edges = jnp.searchsorted(sorted_key, bounds, side="left").astype(
             jnp.int32
@@ -260,15 +317,16 @@ def sort_pair_arrays(tiers, field_payloads, num_tiles, n, num_pairs,
             gidx_flat.append(gidx.reshape(-1))
         tiles_cat = jnp.concatenate(tiles_flat)
         slot_iota = jnp.arange(tiles_cat.shape[0], dtype=jnp.int32)
-        sorted_tile, _, sorted_gidx, sorted_slot, *sorted_fields = jax.lax.sort(
+        gidx_ops = (jnp.concatenate(gidx_flat),) if with_gidx else ()
+        sorted_tile, _, *rest = jax.lax.sort(
             (
                 tiles_cat,
                 jnp.concatenate(depths_flat),
-                jnp.concatenate(gidx_flat),
-                slot_iota,
-            ) + tuple(field_payloads),
+            ) + gidx_ops + (slot_iota,) + tuple(field_payloads),
             num_keys=2,
         )
+        sorted_gidx = rest.pop(0) if with_gidx else None
+        sorted_slot, *sorted_fields = rest
         tile_range = jnp.arange(num_tiles, dtype=jnp.int32)
         tile_start = jnp.searchsorted(
             sorted_tile, tile_range, side="left"
@@ -278,6 +336,7 @@ def sort_pair_arrays(tiers, field_payloads, num_tiles, n, num_pairs,
         ).astype(jnp.int32)
         tile_count = tile_end - tile_start
 
+    pair_cap = int(sorted_slot.shape[0])
     if config.gather_cap_factor > 0:
         # Dead (sentinel-key) pairs sort to the end, so truncating the
         # sorted pair array to cap = factor·N costs nothing while
@@ -285,13 +344,14 @@ def sort_pair_arrays(tiers, field_payloads, num_tiles, n, num_pairs,
         # gather, backward pair-gradient array, fold) shrinks with it. If
         # a scene exceeds the cap, the farthest tiles lose their deepest
         # splats (counted in overflow).
-        m_total = sorted_gidx.shape[0]
+        m_total = pair_cap
         # floor: factor·N is a trained-scene heuristic (pairs ≈ 2-3·N); a
         # tiny scene of large splats can legitimately need far more pairs
         # per splat, so never cap below gather_cap_floor pairs
         cap = min(m_total, max(int(n * config.gather_cap_factor),
                                config.gather_cap_floor))
-        sorted_gidx = sorted_gidx[:cap]
+        if sorted_gidx is not None:
+            sorted_gidx = sorted_gidx[:cap]
         sorted_fields = [f[:cap] for f in sorted_fields]
         tile_count = jnp.minimum(
             tile_count, jnp.maximum(cap - tile_start, 0)
@@ -299,9 +359,10 @@ def sort_pair_arrays(tiers, field_payloads, num_tiles, n, num_pairs,
         tile_start = jnp.minimum(tile_start, cap)  # keep slab reads in bounds
         overflow = overflow + jnp.maximum(num_pairs - cap, 0)
         num_pairs = jnp.minimum(num_pairs, cap)
+        pair_cap = cap
 
     return (sorted_gidx, sorted_slot, sorted_fields, tile_start, tile_count,
-            num_pairs, overflow)
+            num_pairs, overflow, pair_cap)
 
 
 def bin_splats(
@@ -358,13 +419,28 @@ def bin_splats(
     else:
         rows_all = None
 
-    field_cols = (
-        (splats.mean2d[:, 0], splats.mean2d[:, 1],
-         splats.conic[:, 0], splats.conic[:, 1], splats.conic[:, 2],
-         splats.rgb[:, 0], splats.rgb[:, 1], splats.rgb[:, 2],
-         splats.opacity)
-        if carry_fields else ()
-    )
+    if carry_fields and config.pack_fields:
+        # bf16-pack the 7 precision-tolerant fields into u32 pairs at the
+        # per-splat level (N elements, before the N×d broadcast): 4 packed
+        # payload arrays instead of 7 f32 ones. mean2d stays f32 (subpixel
+        # placement of σ≈0.5 px splats needs more than 8 mantissa bits).
+        z = jnp.zeros_like(splats.opacity)
+        field_cols = (
+            splats.mean2d[:, 0],
+            splats.mean2d[:, 1],
+            pack_bf16_pair(splats.conic[:, 0], splats.conic[:, 1]),
+            pack_bf16_pair(splats.conic[:, 2], splats.opacity),
+            pack_bf16_pair(splats.rgb[:, 0], splats.rgb[:, 1]),
+            pack_bf16_pair(splats.rgb[:, 2], z),
+        )
+    elif carry_fields:
+        field_cols = (
+            splats.mean2d[:, 0], splats.mean2d[:, 1],
+            splats.conic[:, 0], splats.conic[:, 1], splats.conic[:, 2],
+            splats.rgb[:, 0], splats.rgb[:, 1], splats.rgb[:, 2],
+            splats.opacity)
+    else:
+        field_cols = ()
 
     d_a = min(config.tier_split, d) if config.tier_split > 0 else d
     if d_a < d:
@@ -434,8 +510,9 @@ def bin_splats(
         idx_b = jnp.zeros((0,), jnp.int32)
 
     (sorted_gidx, sorted_slot, sorted_fields, tile_start, tile_count,
-     num_pairs, overflow) = sort_pair_arrays(
-        tiers, field_payloads, num_tiles, n, num_pairs, overflow, config)
+     num_pairs, overflow, pair_cap) = sort_pair_arrays(
+        tiers, field_payloads, num_tiles, n, num_pairs, overflow, config,
+        with_gidx=not carry_fields)
 
     return TileBins(
         sorted_gidx=sorted_gidx,
@@ -448,4 +525,6 @@ def bin_splats(
         idx_b=idx_b,
         tier_a_width=tier_a_width,
         tier_b_width=tier_b_width,
+        pair_cap=pair_cap,
+        fields_packed=carry_fields and config.pack_fields,
     )

@@ -14,7 +14,11 @@ from gaussian_splatting_web_tpu.ops.sort import bin_splats
 from gaussian_splatting_web_tpu.ops.pallas.raster import rasterize_tiles_pallas
 from tests.conftest import make_random_cloud
 
-CFG = RenderConfig(max_dup=64, max_per_tile=256, tile_chunk=4)
+# pack_grads=False: these tests pin kernel MATH against the XLA path
+# exactly; the bf16-packed gradient fold (shipped default) is covered
+# by test_packed_grad_fold_tolerance and the TPU-side parity gate.
+CFG = RenderConfig(max_dup=64, max_per_tile=256, tile_chunk=4,
+                   pack_grads=False)
 
 
 def _setup(n=60, seed=0, sh_degree=1, w=64, h=48, cfg=CFG):
@@ -81,7 +85,8 @@ def test_rasterize_pallas_binned_matches_xla():
     from gaussian_splatting_web_tpu.ops.pallas.raster import rasterize_pallas
 
     cfg = RenderConfig(max_dup=16, max_per_tile=256, tile_chunk=4,
-                       depth_bits=19, tier_split=4, gather_cap_factor=3.0)
+                       depth_bits=19, tier_split=4, gather_cap_factor=3.0,
+                       pack_grads=False)
     cloud = make_random_cloud(60, seed=3, sh_degree=1)
     w, h = 64, 48
     camera = cam.default_camera(w, h, eye=(0, 0, -6), center=(0, 0, 0))
@@ -111,29 +116,55 @@ def test_rasterize_pallas_binned_matches_xla():
 
 
 def test_bin_splats_carry_fields_matches_gather():
-    """sorted_fields payloads must equal a post-sort gather of the fields."""
-    cfg = RenderConfig(max_dup=16, depth_bits=19, tier_split=2,
-                       gather_cap_factor=3.0)
+    """sorted_fields payloads must equal a post-sort gather of the fields —
+    exactly in the f32 mode, and after the documented bf16 round-trip of
+    conic/rgb/opacity in the packed (shipped-default) mode."""
+    from gaussian_splatting_web_tpu.ops.sort import unpack_bf16_pair
+
     cloud = make_random_cloud(80, seed=9, sh_degree=0)
     w, h = 96, 64
     camera = cam.default_camera(w, h, eye=(0, 0, -6), center=(0, 0, 0))
-    s = project_gaussians(cloud, camera, w, h, cfg)
-    b = bin_splats(s, w, h, cfg, carry_fields=True)
-    assert b.sorted_fields is not None and len(b.sorted_fields) == 9
-    cols = np.stack(
-        [np.asarray(s.mean2d[:, 0]), np.asarray(s.mean2d[:, 1]),
-         np.asarray(s.conic[:, 0]), np.asarray(s.conic[:, 1]),
-         np.asarray(s.conic[:, 2]), np.asarray(s.rgb[:, 0]),
-         np.asarray(s.rgb[:, 1]), np.asarray(s.rgb[:, 2]),
-         np.asarray(s.opacity)], axis=1)
-    gidx = np.asarray(b.sorted_gidx)
-    start, count = np.asarray(b.tile_start), np.asarray(b.tile_count)
-    live = np.zeros(gidx.shape[0], bool)
-    for t in range(start.shape[0]):
-        live[start[t]:start[t] + count[t]] = True
-    want = cols[gidx]                       # [M, 9]
-    got = np.stack([np.asarray(f) for f in b.sorted_fields], axis=1)
-    np.testing.assert_array_equal(got[live], want[live])
+    for pack in (False, True):
+        cfg = RenderConfig(max_dup=16, depth_bits=19, tier_split=2,
+                           gather_cap_factor=3.0, pack_fields=pack)
+        s = project_gaussians(cloud, camera, w, h, cfg)
+        b = bin_splats(s, w, h, cfg, carry_fields=True)
+        # gidx payload is dropped in carry mode; recover pair order from an
+        # exact-field binning of the same splats for the comparison
+        b_ref = bin_splats(s, w, h, cfg.replace(pack_fields=False), False)
+        assert b.sorted_gidx is None
+        assert b.fields_packed == pack
+        assert b.sorted_fields is not None
+        assert len(b.sorted_fields) == (6 if pack else 9)
+        bfq = (lambda x: np.asarray(jnp.asarray(x).astype(jnp.bfloat16)
+                                    .astype(jnp.float32)))
+        cols = np.stack(
+            [np.asarray(s.mean2d[:, 0]), np.asarray(s.mean2d[:, 1]),
+             bfq(s.conic[:, 0]) if pack else np.asarray(s.conic[:, 0]),
+             bfq(s.conic[:, 1]) if pack else np.asarray(s.conic[:, 1]),
+             bfq(s.conic[:, 2]) if pack else np.asarray(s.conic[:, 2]),
+             bfq(s.rgb[:, 0]) if pack else np.asarray(s.rgb[:, 0]),
+             bfq(s.rgb[:, 1]) if pack else np.asarray(s.rgb[:, 1]),
+             bfq(s.rgb[:, 2]) if pack else np.asarray(s.rgb[:, 2]),
+             bfq(s.opacity) if pack else np.asarray(s.opacity)], axis=1)
+        gidx = np.asarray(b_ref.sorted_gidx)
+        start, count = np.asarray(b.tile_start), np.asarray(b.tile_count)
+        live = np.zeros(gidx.shape[0], bool)
+        for t in range(start.shape[0]):
+            live[start[t]:start[t] + count[t]] = True
+        want = cols[gidx]                       # [M, 9]
+        if pack:
+            fs = b.sorted_fields
+            rows = [np.asarray(fs[0]), np.asarray(fs[1])]
+            for u in fs[2:]:
+                hi, lo = unpack_bf16_pair(u)
+                rows += [np.asarray(hi), np.asarray(lo)]
+            got = np.stack(rows[:9], axis=1)
+            # packed order: mx, my, ca, cb, cc|op, r|g, b — reorder to cols
+            got = got[:, [0, 1, 2, 3, 4, 6, 7, 8, 5]]
+        else:
+            got = np.stack([np.asarray(f) for f in b.sorted_fields], axis=1)
+        np.testing.assert_array_equal(got[live], want[live])
 
 
 def test_subset_kernel_matches_composite_tiles():
@@ -174,3 +205,32 @@ def test_subset_kernel_matches_composite_tiles():
                      jax.tree_util.tree_leaves(g_x)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-3, atol=2e-4)
+
+
+def test_packed_grad_fold_tolerance():
+    """The bf16-packed gradient fold (shipped default, pack_grads=True)
+    must track the exact-f32 fold to ~1% scale-relative error (one bf16
+    rounding per pair gradient, ≤ a few pairs summed per splat)."""
+    from gaussian_splatting_web_tpu.ops.pallas.raster import rasterize_pallas
+
+    base = dict(max_dup=16, max_per_tile=256, tile_chunk=4, depth_bits=19,
+                tier_split=4, gather_cap_factor=3.0)
+    cloud = make_random_cloud(80, seed=11, sh_degree=1)
+    w, h = 64, 48
+    camera = cam.default_camera(w, h, eye=(0, 0, -6), center=(0, 0, 0))
+    cfg_exact = RenderConfig(pack_grads=False, **base)
+    cfg_packed = RenderConfig(pack_grads=True, **base)
+    s = project_gaussians(cloud, camera, w, h, cfg_exact)
+
+    def loss(s, cfg):
+        rgb, a, _ = rasterize_pallas(s, w, h, cfg, True)
+        return jnp.sum(rgb**2) + jnp.sum(a)
+
+    g_e = jax.grad(loss, allow_int=True)(s, cfg_exact)
+    g_p = jax.grad(loss, allow_int=True)(s, cfg_packed)
+    for name in ("mean2d", "conic", "rgb", "opacity"):
+        a = np.asarray(getattr(g_p, name), np.float64)
+        b = np.asarray(getattr(g_e, name), np.float64)
+        scale = np.abs(b).max() + 1e-12
+        rel = np.abs(a - b) / scale
+        assert rel.max() < 1e-2, (name, rel.max())

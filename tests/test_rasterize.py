@@ -14,10 +14,13 @@ from gaussian_splatting_web_tpu.ref.cpu_reference import render_reference
 from tests.conftest import REFERENCE_PUBLIC, assert_images_close, make_random_cloud
 
 # Exact-order oracle-parity mode: depth_bits=0 keeps the (tile, depth)
-# two-key sort so per-tile order bit-matches the NumPy reference. The
-# shipped default (depth_bits=19) quantizes depth ties; its output is
-# validated against this exact mode in test_default_config_quality.
-CFG = RenderConfig(max_dup=128, max_per_tile=256, tile_chunk=8, depth_bits=0)
+# two-key sort so per-tile order bit-matches the NumPy reference, and
+# pack_fields=False keeps conic/rgb/opacity exact f32 (the shipped default
+# bf16-rounds them to halve sort-payload traffic). The shipped defaults
+# (depth_bits=19, pack_fields=True) are validated against this exact mode
+# in test_default_config_quality.
+CFG = RenderConfig(max_dup=128, max_per_tile=256, tile_chunk=8, depth_bits=0,
+                   pack_fields=False)
 
 
 def _orbit(w, h, eye=(0, 0, -6)):
