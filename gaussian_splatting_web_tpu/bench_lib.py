@@ -252,7 +252,15 @@ def run(
             mean2d=splats.mean2d + c * 1e-30,
         )
         b = bin_splats(s2, width, height, config, carry_fields=True)
-        return jnp.sum(b.tile_count.astype(jnp.float32)) * 1e-30
+        # consume EVERY sort output: XLA's sort simplifier deletes payload
+        # operands whose outputs are unused, which silently dropped the six
+        # field payloads from the r2 measurement (28.6 ms "sort" vs the
+        # 56.8 ms the full forward actually pays — tools/profile_r3.py)
+        tot = jnp.sum(b.tile_count.astype(jnp.float32))
+        tot += jnp.sum(b.sorted_slot.astype(jnp.float32))
+        for f in b.sorted_fields:
+            tot += jnp.sum(f.astype(jnp.float32))
+        return tot * 1e-30
 
     ts = time_fn_device(sort_body, iters=6)
     _log(f"bin+sort: {ts*1e3:.2f} ms → {n/ts/1e6:.1f} M splats/s")
@@ -277,7 +285,7 @@ def run(
     comp_vpu = chunks * 20 * p * KC
     comp_bytes = (
         chunks * 12 * KC * 4                      # slab DMA
-        + num_tiles * p * 4 * (4 + config.max_per_tile // KC)  # out + carries
+        + num_tiles * p * 4 * (4 + 2)             # out + final carries
     )
     # measured composite ≈ forward − (project + bin/sort); project is small
     proj_bytes = n * 4 * (11 + 3 + 3 + 4 + 1 + 3 * sh_k) + n * 4 * 11

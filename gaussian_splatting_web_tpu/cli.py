@@ -126,6 +126,13 @@ def cmd_bench(args):
 
 
 def cmd_train(args):
+    # multi-host entry: initialize jax.distributed BEFORE any backend touch
+    # (no-op when no coordinator is configured — the single-process case)
+    if getattr(args, "multihost", False):
+        from .parallel.multihost import initialize_multihost
+
+        initialize_multihost()
+
     import jax
 
     from .io.dataset import load_dataset
@@ -151,17 +158,32 @@ def cmd_train(args):
         xyz = rng.uniform(lo, hi, size=(20_000, 3)).astype(np.float32)
         model = GaussianModel.from_points(xyz, sh_degree=3)
 
-    state, dstate = train(
-        model, views, args.width, args.height,
-        render_config=_config(args),
-        loop=TrainLoopConfig(iterations=args.iterations),
-    )
+    def run_once(ckpt_dir):
+        return train(
+            model, views, args.width, args.height,
+            render_config=_config(args),
+            loop=TrainLoopConfig(iterations=args.iterations),
+            checkpoint_dir=ckpt_dir,
+            checkpoint_every=getattr(args, "checkpoint_every", 0),
+        )
+
+    if getattr(args, "restarts", 0) > 0 and args.checkpoint:
+        # checkpoint-restart driver: on failure, retry resuming from the
+        # newest saved loop state (parallel.multihost recovery model)
+        from .parallel.multihost import run_with_restarts
+
+        state, dstate = run_with_restarts(
+            run_once, checkpoint_dir=args.checkpoint,
+            max_restarts=args.restarts)
+    else:
+        state, dstate = run_once(args.checkpoint)
+
     final = compact(state.params, dstate)
     save_ply(final, args.out)
     print(f"saved {final.num_gaussians} gaussians → {args.out}",
           file=sys.stderr)
     if args.checkpoint:
-        save_train_state(state, args.checkpoint)
+        save_train_state(state, args.checkpoint + "-final")
 
 
 def cmd_eval(args):
@@ -243,7 +265,17 @@ def main(argv=None):
     sp.add_argument("--out", default="trained.ply")
     sp.add_argument("--iterations", type=int, default=7000)
     sp.add_argument("--limit", type=int, default=0, help="max training views")
-    sp.add_argument("--checkpoint", help="orbax checkpoint dir to save into")
+    sp.add_argument("--checkpoint", help="orbax checkpoint dir to save into"
+                    " (and resume from, when it holds a loop state)")
+    sp.add_argument("--checkpoint-every", type=int, default=500,
+                    dest="checkpoint_every",
+                    help="save the loop state every N iterations")
+    sp.add_argument("--multihost", action="store_true",
+                    help="initialize jax.distributed before training "
+                    "(no-op without a coordinator — single-process safe)")
+    sp.add_argument("--restarts", type=int, default=0,
+                    help="checkpoint-restart retries on failure "
+                    "(requires --checkpoint)")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("eval", help="PSNR/SSIM against ground-truth images")

@@ -39,13 +39,22 @@ class RenderConfig:
                                  # 0 = exact (tile, f32 depth) two-key sort
                                  # (oracle-parity mode, used by tests that
                                  # compare against the NumPy reference).
-    tier_split: int = 4          # >0: two-tier duplication — every gaussian
+    tier_split: int = 2          # >0: tiered duplication — every gaussian
                                  # gets this many slots, footprints larger
-                                 # than it spill to a compact big tier with
-                                 # max_dup slots (shrinks the pair array
-                                 # ~2x for trained scenes). 0 = single tier.
-                                 # 4 covers ~99.4% of splats at the 1M bench
-                                 # scene (tools/profile_r2.py histogram).
+                                 # than it spill to compacted tiers
+                                 # (tier_mid, then max_dup). 0 = single
+                                 # tier. 2 covers ~75% of splats at the 1M
+                                 # bench scene (CPU footprint histogram);
+                                 # v5e lax.sort cost falls superlinearly
+                                 # below ~4M elements, so the smaller slot
+                                 # array cuts binning 41.6 → ~24 ms
+                                 # (tools/sortexp.py).
+    tier_mid: int = 4            # optional middle compacted tier width
+                                 # (tier_split < tier_mid < max_dup to
+                                 # enable; 99.4% of bench splats fit in 4)
+    mid_frac: float = 0.3        # middle-tier capacity as a fraction of N
+                                 # (bench scene needs 238k of the 300k cap;
+                                 # overflow is graceful + counted)
     big_frac: float = 1.0 / 64.0  # big-tier capacity as a fraction of N
                                  # (bench scene needs 6.1k of the 15.6k cap;
                                  # overflow is graceful + counted)

@@ -34,8 +34,12 @@ Layout: pixels in sublanes (P = 256 rows), splat chunk in lanes (KC = 128
 columns); per-splat scalars broadcast from [1, KC] slab rows.
 
 The public entry `rasterize_tiles_pallas` carries a custom VJP whose
-backward is the fused kernel in raster_bwd (single back-to-front sweep over
-the stored per-chunk transmittance carries) plus one XLA segment-sum.
+backward is the fused kernel in raster_bwd (single back-to-front sweep that
+RECONSTRUCTS the per-chunk transmittance from the stored final carry by
+subtracting each chunk's log(1-α) column sum — the forward stores only
+[G, P] finals + a chunk count, not O(maxc) per-chunk carries, and neither
+kernel needs the single-lane `lax.switch` stores that round-2 profiling
+flagged) plus one XLA segment-sum.
 """
 
 from __future__ import annotations
@@ -125,6 +129,10 @@ R_TILES = 8       # pixel tiles composited per grid step. At 1080p there are
                   # exceed the 16 MB scoped-VMEM budget.
 
 
+EARLY_EXIT = True  # transmittance early-exit (while_loop) vs fixed-trip
+                   # fori_loop in the chunk walk; toggled by tools/kexp3.py
+
+
 def _bitcast_f32(u):
     return jax.lax.bitcast_convert_type(u, jnp.float32)
 
@@ -143,11 +151,15 @@ def _kernel(
     counts_ref,            # SMEM [T] int32 (scalar prefetch)
     tiles_ref,             # SMEM [G_pad] int32 (scalar prefetch): grid→tile
     *refs,                 # packed: f6_hbm [6, M_pad] u32 (bitcast mx, my,
-                           #   ca|cb, cc|op, r|g, b|0), out, carr, slab6,
+                           #   ca|cb, cc|op, r|g, b|0), out, fin, slab6,
                            #   sem — ONE slab DMA per chunk per tile.
                            # unpacked: f8_hbm [8, M_pad] f32
                            #   (mx,my,ca,cb,cc,r,g,b), f4_hbm [4, M_pad]
-                           #   f32 (op,0,0,0), out, carr, slab8, slab4, sem
+                           #   f32 (op,0,0,0), out, fin, slab8, slab4, sem
+                           # fin [R, P, 2]: lane 0 = final log-transmittance
+                           # carry, lane 1 = processed-chunk count (f32,
+                           # group-level) — all the backward needs to
+                           # reconstruct every chunk's starting carry
     gx: int,
     tile_size: int,
     k_cap: int,
@@ -158,9 +170,9 @@ def _kernel(
     packed: bool,
 ):
     if packed:
-        f6_hbm, out_ref, carr_ref, slab6_ref, sem_ref = refs
+        f6_hbm, out_ref, fin_ref, slab6_ref, sem_ref = refs
     else:
-        (f8_hbm, f4_hbm, out_ref, carr_ref, slab8_ref, slab4_ref,
+        (f8_hbm, f4_hbm, out_ref, fin_ref, slab8_ref, slab4_ref,
          sem_ref) = refs
     p = tile_size * tile_size
     R = r_tiles
@@ -261,21 +273,8 @@ def _kernel(
     def _():
         dma_start(0, 0)
 
-    maxc = carr_ref.shape[2]
-
     def chunk_body(state):
         c, carry, acc4 = state            # carry [R·P, 1], acc4 [R·P, 4]
-
-        # record start-of-chunk transmittance for the backward sweep;
-        # single-lane stores need static offsets → switch over the (small,
-        # static) chunk index
-        def _store(ci):
-            def f():
-                carr_ref[:, :, ci : ci + 1] = carry.reshape(R, p, 1)
-            return f
-
-        jax.lax.switch(jnp.minimum(c, maxc - 1),
-                       [_store(i) for i in range(maxc)])
 
         @pl.when(c + 1 < max_chunks)
         def _():
@@ -365,26 +364,38 @@ def _kernel(
         carry = carry + cum[:, KC - 1 : KC]
         return c + 1, carry, acc4
 
-    def chunk_cond(state):
-        c, carry, *_ = state
-        return jnp.logical_and(c < max_chunks, jnp.max(carry) >= log_eps)
-
     init = (
         jnp.int32(0),
         jnp.zeros((R * p, 1), jnp.float32),
         jnp.zeros((R * p, 4), jnp.float32),
     )
-    c_final, _, acc4 = jax.lax.while_loop(chunk_cond, chunk_body, init)
+    if EARLY_EXIT:
+        def chunk_cond(state):
+            c, carry, *_ = state
+            # the max(carry) reduce costs a vector→scalar sync per chunk;
+            # it pays for itself on saturating (opaque, deep) tiles and is
+            # bounded overhead at ~1-2 chunks/tile (tools/kexp2.py)
+            return jnp.logical_and(c < max_chunks,
+                                   jnp.max(carry) >= log_eps)
 
-    # drain the in-flight prefetch if the loop exited early
-    @pl.when(c_final < max_chunks)
-    def _():
-        dma_wait(c_final % 2, c_final)
+        c_final, carry, acc4 = jax.lax.while_loop(
+            chunk_cond, chunk_body, init)
+
+        # drain the in-flight prefetch if the loop exited early
+        @pl.when(c_final < max_chunks)
+        def _():
+            dma_wait(c_final % 2, c_final)
+    else:
+        c_final, carry, acc4 = jax.lax.fori_loop(
+            0, max_chunks, lambda i, s: chunk_body(s), init)
 
     out_ref[:, :, :] = acc4.reshape(R, p, 4)
-    # unprocessed chunks get a -inf-like sentinel (skipped by backward)
-    lane_c = jax.lax.broadcasted_iota(jnp.int32, (R, p, maxc), 2)
-    carr_ref[:, :, :] = jnp.where(lane_c < c_final, carr_ref[:, :, :], -1e30)
+    # the backward reconstructs each chunk's starting carry from the final
+    # carry by subtracting per-chunk log(1-α) column sums; it only needs
+    # the finals plus how many chunks this group processed
+    fin_ref[:, :, 0:1] = carry.reshape(R, p, 1)
+    fin_ref[:, :, 1:2] = jnp.broadcast_to(
+        c_final.astype(jnp.float32), (R, p, 1))
 
 
 def _sorted_fields_t(
@@ -404,14 +415,21 @@ def _sorted_fields_t(
     """
     pad = k_cap + KC
     if bins.sorted_fields is not None and bins.fields_packed:
-        fs = [jnp.pad(f, (0, pad)) for f in bins.sorted_fields]
-        z = jnp.zeros_like(fs[2])  # u32
+        # concat of [1, M]+[1, pad] rows, NOT pad+stack: measured 1.05 ms
+        # vs 4.24 ms at the 1M bench (tools/sortexp.py) — XLA lowers the
+        # row-concat to plain copies while pad+stack relayouts
+        m = bins.sorted_fields[0].shape[0]
+        zrow = jnp.zeros((1, pad), jnp.uint32)
+        rows = [jax.lax.bitcast_convert_type(bins.sorted_fields[0],
+                                             jnp.uint32),
+                jax.lax.bitcast_convert_type(bins.sorted_fields[1],
+                                             jnp.uint32)]
+        rows += list(bins.sorted_fields[2:6])
         # 8 rows (6 used + 2 zero): Mosaic requires DMA slice leading dims
         # aligned to the (8, 128) sublane tiling
-        f6 = jnp.stack(
-            [jax.lax.bitcast_convert_type(fs[0], jnp.uint32),
-             jax.lax.bitcast_convert_type(fs[1], jnp.uint32)]
-            + fs[2:6] + [z, z],
+        f6 = jnp.concatenate(
+            [jnp.concatenate([r[None, :], zrow], axis=1) for r in rows]
+            + [jnp.zeros((2, m + pad), jnp.uint32)],
             axis=0,
         )                                                     # [8, M+pad]
         return (f6,)
@@ -445,14 +463,14 @@ def composite_tiles_pallas(
     r_tiles: int | None = None,
 ):
     """Composite `tile_ids` (default: all tiles row-major) →
-    (tiles [G, P, 4], carries [G, P, MAXC], fields_t). `carries` holds the
-    per-chunk starting log-transmittance the backward kernel consumes."""
+    (tiles [G, P, 4], fin [G, P, 2], fields_t). `fin` holds each pixel's
+    final log-transmittance (lane 0) and the group's processed-chunk count
+    (lane 1); the backward kernel reconstructs per-chunk carries from it."""
     ts = config.tile_size
     gx, gy = config.grid_size(width, height)
     num_tiles = gx * gy
     p = ts * ts
     k_cap = k_cap_for(config)
-    maxc = k_cap // KC
 
     if tile_ids is None:
         tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
@@ -506,21 +524,21 @@ def composite_tiles_pallas(
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(fields_t),
         out_specs=(
             pl.BlockSpec((r, p, 4), lambda g, starts, counts, tiles: (g, 0, 0)),
-            pl.BlockSpec((r, p, maxc),
+            pl.BlockSpec((r, p, 2),
                          lambda g, starts, counts, tiles: (g, 0, 0)),
         ),
         scratch_shapes=scratch,
     )
-    out, carries = pl.pallas_call(
+    out, fin = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((n_groups * r, p, 4), jnp.float32),
-            jax.ShapeDtypeStruct((n_groups * r, p, maxc), jnp.float32),
+            jax.ShapeDtypeStruct((n_groups * r, p, 2), jnp.float32),
         ),
         interpret=interpret,
     )(starts_s, counts_s, tiles_padded, *fields_t)
-    return out[:grid_n], carries[:grid_n], fields_t
+    return out[:grid_n], fin[:grid_n], fields_t
 
 
 def _forward(splats, bins, width, height, config, interpret=False):
@@ -534,13 +552,13 @@ def _forward(splats, bins, width, height, config, interpret=False):
 
     ts = config.tile_size
     gx, gy = config.grid_size(width, height)
-    tiles, carries, fields_t = composite_tiles_pallas(
+    tiles, fin, fields_t = composite_tiles_pallas(
         splats, bins, width, height, config, interpret=interpret,
     )
     out = assemble_image(
         tiles.reshape(-1, ts, ts, 4), width, height, gx, gy
     )
-    return (out[..., :3], out[..., 3]), carries, fields_t
+    return (out[..., :3], out[..., 3]), fin, fields_t
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
@@ -557,9 +575,9 @@ def rasterize_tiles_pallas(splats, bins, width, height, config,
 
 
 def _fwd(splats, bins, width, height, config, interpret=False):
-    out, carries, fields_t = _forward(splats, bins, width, height, config,
-                                      interpret)
-    return out, (splats, bins, carries, fields_t)
+    out, fin, fields_t = _forward(splats, bins, width, height, config,
+                                  interpret)
+    return out, (splats, bins, fin, fields_t)
 
 
 def _cot_to_tiles(cotangent, width, height, config):
@@ -605,7 +623,6 @@ def _fold_pair_grads(dpairs: jnp.ndarray, bins: TileBins, n: int,
     cap = bins.pair_cap                    # truncated pair count
     n_slots = bins.sorted_slot.shape[0]
     d_a = bins.tier_a_width
-    d_b = bins.tier_b_width
     pad = n_slots - cap
 
     # the backward kernel gives each in-group tile its own F_PAD row group
@@ -644,13 +661,19 @@ def _fold_pair_grads(dpairs: jnp.ndarray, bins: TileBins, n: int,
         [r[: n * d_a].reshape(n, d_a).sum(axis=1) for r in sorted_back],
         axis=1,
     )                                                          # [N, 9]
-    if d_b > 0:
-        nb = bins.idx_b.shape[0]
-        seg_b = jnp.stack(
-            [r[n * d_a:].reshape(nb, d_b).sum(axis=1) for r in sorted_back],
+    off = n * d_a
+    for w_j, idx_j in zip(bins.comp_widths, bins.comp_idx):
+        cap_j = idx_j.shape[0]
+        seg_j = jnp.stack(
+            [r[off:off + cap_j * w_j].reshape(cap_j, w_j).sum(axis=1)
+             for r in sorted_back],
             axis=1,
         )
-        seg = seg + jax.ops.segment_sum(seg_b, bins.idx_b, num_segments=n)
+        # idx_j is ascending-unique (nonzero output) so this scatter-add is
+        # over sorted unique row indices — small (cap_j ≪ pairs) vs the
+        # pair-level segment_sum this fold design avoids
+        seg = seg + jax.ops.segment_sum(seg_j, idx_j, num_segments=n)
+        off += cap_j * w_j
     return seg
 
 
@@ -659,12 +682,12 @@ def _bwd(width, height, config, interpret, residuals, cotangent):
 
     from .raster_bwd import backward_pair_grads
 
-    splats, bins, carries, fields_t = residuals
+    splats, bins, fin, fields_t = residuals
     n = splats.depth.shape[0]
 
     cot_tiles = _cot_to_tiles(cotangent, width, height, config)
     dpairs = backward_pair_grads(
-        fields_t, carries, cot_tiles, bins.tile_start, bins.tile_count,
+        fields_t, fin, cot_tiles, bins.tile_start, bins.tile_count,
         width, height, config, interpret=interpret,
     )
     seg = _fold_pair_grads(dpairs, bins, n, config)
@@ -711,11 +734,11 @@ def _forward_subset(splats, tile_ids, width, height, config, interpret):
     from ..sort import bin_splats
 
     bins = bin_splats(splats, width, height, config, carry_fields=True)
-    tiles, carries, fields_t = composite_tiles_pallas(
+    tiles, fin, fields_t = composite_tiles_pallas(
         splats, bins, width, height, config, interpret=interpret,
         tile_ids=tile_ids,
     )
-    return tiles, (splats, bins, carries, fields_t, tile_ids)
+    return tiles, (splats, bins, fin, fields_t, tile_ids)
 
 
 def _fwd_subset(splats, tile_ids, width, height, config, interpret=False):
@@ -728,10 +751,10 @@ def _bwd_subset(width, height, config, interpret, residuals, cot_tiles):
 
     from .raster_bwd import backward_pair_grads
 
-    splats, bins, carries, fields_t, tile_ids = residuals
+    splats, bins, fin, fields_t, tile_ids = residuals
     n = splats.depth.shape[0]
     dpairs = backward_pair_grads(
-        fields_t, carries, cot_tiles, bins.tile_start, bins.tile_count,
+        fields_t, fin, cot_tiles, bins.tile_start, bins.tile_count,
         width, height, config, interpret=interpret, tile_ids=tile_ids,
     )
     seg = _fold_pair_grads(dpairs, bins, n, config)
@@ -754,10 +777,10 @@ def _forward_binned(splats, width, height, config, interpret):
     from ..sort import bin_splats
 
     bins = bin_splats(splats, width, height, config, carry_fields=True)
-    out, carries, fields_t = _forward(splats, bins, width, height, config,
-                                      interpret)
+    out, fin, fields_t = _forward(splats, bins, width, height, config,
+                                  interpret)
     stats = {"num_pairs": bins.num_pairs, "overflow": bins.overflow}
-    return out + (stats,), (splats, bins, carries, fields_t)
+    return out + (stats,), (splats, bins, fin, fields_t)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))

@@ -11,20 +11,32 @@ order-dependent quantities realized as triangular matmuls on the MXU —
 giving the classic gradients (k contributing):
   ∂L/∂c_k = w_k g_rgb        ∂L/∂α_k = T_k r_k − S_k / (1-α_k)
 
-The forward kernel stores the per-chunk log-transmittance carries
-(`carries`), so the backward makes a single back-to-front sweep per tile:
-stream the slab, recompute α, form the suffix with a strict-lower-triangular
-matmul, reduce over pixels, and accumulate per-pair gradients into the
-(tile,depth)-sorted pair-gradient array with read-add-write DMA.
+Round-3 redesign (the round-2 kernel was the fwd+bwd bottleneck at
+44.7 ms vs an ~8 ms bound):
+
+  * No stored per-chunk carries. The forward emits only each pixel's FINAL
+    log-transmittance + the processed-chunk count (raster.py `fin`); the
+    backward walks back-to-front and RECONSTRUCTS each chunk's starting
+    carry by subtracting that chunk's log(1-α) column sum (recomputed
+    anyway for the suffix). This kills the per-chunk `lax.switch`
+    single-lane carry reads round-2 profiling flagged AND the
+    O(tiles·P·maxc) HBM carries array.
+  * No read-modify-write chain. Every pair-gradient chunk is a PURE STORE:
+    a tile's interior chunks are exclusively owned (segments are
+    contiguous in slab order), so only the FIRST chunk — whose leading
+    `lead` lanes hold earlier tiles' gradients — needs a read-merge-write,
+    and its read is prefetched at kernel start (hidden behind the whole
+    tile walk). The round-2 kernel instead did read-add-write per chunk,
+    whose serialized DMA chain dominated its pipeline and pinned
+    R_TILES_BWD at 1.
 
 Like the forward (raster.py R_TILES), each grid step processes R tiles with
-their pixel rows stacked [R·P, KC], amortizing the per-step fixed cost that
-dominates at ~1 chunk/tile. Each tile in a group accumulates into its OWN
-row group of the pair-gradient array (rows [r·F_PAD, (r+1)·F_PAD)), so
-in-group RMW blocks can never alias even where adjacent tiles share a
-128-lane boundary block; the fold sums the R row groups (one elementwise
-pass). Across grid steps the same row group is protected by the end-of-tile
-write drains plus sequential grid execution, exactly as in round 1.
+their pixel rows stacked [R·P, KC]. Each tile in a group accumulates into
+its OWN row group of the pair-gradient array (rows [r·F_PAD, (r+1)·F_PAD)),
+so in-group stores never alias even where adjacent tiles share a 128-lane
+boundary block; the fold sums the R row groups (one elementwise pass).
+Cross-group writes to a shared (row-group, block) pair are ordered by the
+end-of-body store drains + sequential grid execution.
 """
 
 from __future__ import annotations
@@ -43,30 +55,34 @@ from .raster import (
     _dot_general_bf16x3, _unpack_hi, _unpack_lo,
 )
 
-R_TILES_BWD = 1   # tiles per backward grid step. Unlike the forward, the
-                  # backward gets NO grouping win — the RMW read/write
-                  # chain per tile dominates its pipeline (v5e sweep:
-                  # r=1 44.7 ms, r=2 44.8, r=4 51.0, r=8 scoped-VMEM OOM;
-                  # tools/profile_r_tiles.py) — and r=1 also shrinks the
-                  # pair-gradient array to one F_PAD row group, which
-                  # quarters the fold's group-sum traffic vs r=4.
+R_TILES_BWD = 1   # tiles per backward grid step. Even with the round-3
+                  # pure-store design (no RMW chain), grouping buys nothing:
+                  # v5e sweep at the 1M/1080p bench r=1 39.7 ms, r=2 41.2,
+                  # r=4 45.0 (tools/kexp3.py) — the per-tile DMA waits and
+                  # stores scale with R, so the fixed cost doesn't amortize,
+                  # and r=1 keeps the pair-gradient array at one F_PAD row
+                  # group (minimal fold traffic).
 
 
 def _bwd_kernel(
     starts_ref,            # SMEM [T+1] int32 (sentinel row 0 at the end)
     counts_ref,            # SMEM [T+1] int32
     tiles_ref,             # SMEM [G_pad] int32: grid→tile id (num_tiles=pad)
+    cfin_ref,              # SMEM [G_pad] int32: chunks the forward
+                           # processed for this tile's group (0 on padding)
     *refs,                 # packed: f6_hbm [6, M_pad] u32 (bitcast mx, my,
-                           #   ca|cb, cc|op, r|g, b|0), carries, cot,
-                           #   dzero, dpairs, slab6, rmw, sem.
+                           #   ca|cb, cc|op, r|g, b|0), fin, cot, dzero,
+                           #   dpairs, slab6, st, rd, sem.
                            # unpacked: f8_hbm [8, M_pad] f32, f4_hbm
-                           #   [4, M_pad] f32, carries, cot, dzero, dpairs,
-                           #   slab8, slab4, rmw, sem.
-                           # carries VMEM [R, P, MAXC] f32 (start-of-chunk
-                           # log T); cot VMEM [R, P, 4]; dzero/dpairs ANY
-                           # [R·F_PAD, M_pad] f32 (aliased in/out); rmw
-                           # VMEM scratch [2, R, F_PAD, KC]; sem DMA
-                           # semaphores (4, R, 2)
+                           #   [4, M_pad] f32, fin, cot, dzero, dpairs,
+                           #   slab8, slab4, st, rd, sem.
+                           # fin VMEM [R, P, 2] (lane 0 = final log-
+                           # transmittance per pixel); cot VMEM [R, P, 4]; dzero/dpairs
+                           # ANY [R·F_PAD, M_pad] f32 (aliased in/out);
+                           # st VMEM scratch [2, R, F_PAD, KC] (double-
+                           # buffered store staging); rd VMEM scratch
+                           # [R, F_PAD, KC] (first-chunk merge read); sem
+                           # DMA semaphores (4, R, 2)
     gx: int,
     tile_size: int,
     k_cap: int,
@@ -77,21 +93,18 @@ def _bwd_kernel(
     packed: bool,
 ):
     if packed:
-        (f6_hbm, carries_ref, cot_ref, dzero_hbm, dpairs_hbm, slab6_ref,
-         rmw_ref, sem_ref) = refs
+        (f6_hbm, fin_ref, cot_ref, dzero_hbm, dpairs_hbm, slab6_ref,
+         st_ref, rd_ref, sem_ref) = refs
     else:
-        (f8_hbm, f4_hbm, carries_ref, cot_ref, dzero_hbm, dpairs_hbm,
-         slab8_ref, slab4_ref, rmw_ref, sem_ref) = refs
+        (f8_hbm, f4_hbm, fin_ref, cot_ref, dzero_hbm, dpairs_hbm,
+         slab8_ref, slab4_ref, st_ref, rd_ref, sem_ref) = refs
     del dzero_hbm
     p = tile_size * tile_size
     R = r_tiles
     g0 = pl.program_id(0) * R
-    maxc = carries_ref.shape[2]
     ts_f = float(tile_size)
 
-    bases, leads, totals, n_chunks_r, useful_r, txs, tys = \
-        [], [], [], [], [], [], []
-    chunk_idx = jax.lax.broadcasted_iota(jnp.int32, (1, maxc), 1)
+    bases, leads, totals, useful_r, txs, tys = [], [], [], [], [], []
     for r in range(R):
         t = tiles_ref[g0 + r]
         start = starts_ref[t]
@@ -100,18 +113,13 @@ def _bwd_kernel(
         lead = start - base
         total = lead + count
         n_chunks = jnp.where(count > 0, pl.cdiv(total, KC), 0)
-        # chunks whose starting transmittance is already below threshold
-        # were never processed forward (carry sentinel -1e30) or contribute
-        # nothing
-        chunk_live = (
-            jnp.max(carries_ref[r], axis=0, keepdims=True) >= log_eps
-        )
-        useful = jnp.sum(jnp.where(
-            jnp.logical_and(chunk_live, chunk_idx < n_chunks), 1, 0))
+        # the forward walks each group to its max chunk count but may exit
+        # early once every pixel saturates; chunks at/after the exit point
+        # contributed nothing and carry zero gradient
+        useful = jnp.minimum(cfin_ref[g0 + r], n_chunks)
         bases.append(base)
         leads.append(lead)
         totals.append(total)
-        n_chunks_r.append(n_chunks)
         useful_r.append(useful)
         txs.append((t % gx).astype(jnp.float32) * ts_f)
         tys.append((t // gx).astype(jnp.float32) * ts_f)
@@ -179,18 +187,20 @@ def _bwd_kernel(
                 ),
             ]
 
-    def rmw_read_dma(slot, r, c):
-        off = pl.multiple_of(bases[r] + c * KC, KC)
+    def merge_read_dma(r):
+        # the tile's FIRST slab block (chunk 0): its leading `lead` lanes
+        # hold earlier tiles' pair gradients and must ride through
+        off = pl.multiple_of(bases[r], KC)
         return pltpu.make_async_copy(
             dpairs_hbm.at[pl.ds(r * F_PAD, F_PAD), pl.ds(off, KC)],
-            rmw_ref.at[slot, r],
-            sem_ref.at[2, r, slot],
+            rd_ref.at[r],
+            sem_ref.at[2, r, 0],
         )
 
-    def rmw_write_dma(slot, r, c):
+    def store_dma(slot, r, c):
         off = pl.multiple_of(bases[r] + c * KC, KC)
         return pltpu.make_async_copy(
-            rmw_ref.at[slot, r],
+            st_ref.at[slot, r],
             dpairs_hbm.at[pl.ds(r * F_PAD, F_PAD), pl.ds(off, KC)],
             sem_ref.at[3, r, slot],
         )
@@ -227,9 +237,10 @@ def _bwd_kernel(
         def _(r=r):
             for d in slab_dmas(0, r, c_of(r, 0)):
                 d.start()
-            rmw_read_dma(0, r, c_of(r, 0)).start()
+            merge_read_dma(r).start()
 
-    def body(i, s_carry):
+    def body(i, carries):
+        s_carry, carry_end = carries      # suffix color; end-of-chunk log T
         s = i % 2
 
         # prefetch next step's slabs while this step computes
@@ -240,7 +251,7 @@ def _bwd_kernel(
                     d.start()
 
         # alpha recompute: same rank-6 bilinear form as the forward kernel
-        powers, f4s, carry_cs, gcols = [], [], [], []
+        powers, f4s, gcols = [], [], []
         op_rows = []
         active_flags = []
         for r in range(R):
@@ -272,13 +283,6 @@ def _bwd_kernel(
             f4s.append(jnp.concatenate(
                 [rgb_rows, jnp.ones((1, KC), jnp.float32)], axis=0
             ))
-            # single-lane carry reads need static offsets → switch over the
-            # (small, static) chunk index
-            carry_cs.append(jax.lax.switch(
-                jnp.minimum(c, maxc - 1),
-                [(lambda r=r, ci=ci: carries_ref[r, :, ci : ci + 1])
-                 for ci in range(maxc)],
-            ))
             gcols.append(c * KC + lane)
 
         raw_power = jnp.concatenate(powers, axis=0)        # [R·P, KC]
@@ -302,8 +306,12 @@ def _bwd_kernel(
 
         log1m = jnp.log1p(-alpha)
         cum = _dot_bf16x2(log1m, tri)
-        carry_c = jnp.concatenate(carry_cs, axis=0)        # [R·P, 1]
-        log_t_incl = carry_c + cum
+        # reconstruct this chunk's starting carry from the end-of-chunk
+        # carry: carry_start = carry_end − Σ_lanes log(1-α). Inactive rows
+        # have alpha ≡ 0 → column sum 0 → carry unchanged.
+        colsum = cum[:, KC - 1 : KC]
+        carry_start = carry_end - colsum
+        log_t_incl = carry_start + cum
         contrib = log_t_incl >= log_eps
         t_excl = jnp.exp(log_t_incl - log1m)
         w = jnp.where(contrib, alpha * t_excl, 0.0)
@@ -373,50 +381,55 @@ def _bwd_kernel(
                 axis=0,
             )
 
-            # Read-add-write of this tile's pair-gradient block, double-
-            # buffered: the read for step i was prefetched one step ahead
-            # (hidden behind the previous step's compute) and the write
-            # drains asynchronously while the next step computes. Hazard-
-            # free: one tile's chunk blocks are disjoint (distinct c), the
-            # VMEM slot is reused only after its write-out is waited,
-            # in-group tiles target disjoint dpairs ROW groups, and cross-
-            # step sharing of a row group is fenced by the end-of-kernel
-            # drains + sequential grid execution.
             @pl.when(i < useful_r[r])
             def _(r=r, grads=grads):
                 c = c_of(r, i)
-                rmw_read_dma(s, r, c).wait()
-                rmw_ref[s, r] = rmw_ref[s, r] + grads
-                rmw_write_dma(s, r, c).start()
 
-            @pl.when(i + 1 < useful_r[r])
-            def _(r=r):
-                s2 = (i + 1) % 2
+                # the staging slot's previous store (step i-2, same parity)
+                # must have drained before we overwrite it
+                @pl.when(i >= 2)
+                def _(r=r):
+                    store_dma(s, r, c_of(r, i - 2)).wait()
 
-                @pl.when(i >= 1)
-                def _(r=r, s2=s2):
-                    rmw_write_dma(s2, r, c_of(r, i - 1)).wait()
+                # chunk 0: merge the prefetched earlier-tile gradients
+                # occupying the leading lanes; all other chunks are whole-
+                # block pure stores (grads are zeroed outside the tile's
+                # [lead, total) segment window by the masks above)
+                @pl.when(c == 0)
+                def _(r=r, grads=grads):
+                    merge_read_dma(r).wait()
+                    st_ref[s, r] = jnp.where(lane < leads[r], rd_ref[r],
+                                             grads)
 
-                rmw_read_dma(s2, r, c_of(r, i + 1)).start()
+                @pl.when(c != 0)
+                def _(r=r, grads=grads):
+                    st_ref[s, r] = grads
 
-        return s_carry + jnp.sum(rw, axis=1, keepdims=True)
+                store_dma(s, r, c).start()
 
-    jax.lax.fori_loop(0, max_useful, body,
-                      jnp.zeros((R * p, 1), jnp.float32))
+        # advance the back-to-front carries: active rows step to the start
+        # of the chunk just processed; inactive rows already had colsum 0
+        return (s_carry + jnp.sum(rw, axis=1, keepdims=True), carry_start)
 
-    # drain the (up to two) in-flight pair-gradient writes per tile before
+    finc0 = jnp.concatenate(
+        [fin_ref[r][:, 0:1] for r in range(R)], axis=0)
+    jax.lax.fori_loop(
+        0, max_useful, body,
+        (jnp.zeros((R * p, 1), jnp.float32), finc0))
+
+    # drain the (up to two) in-flight pair-gradient stores per tile before
     # the next grid step may touch a shared boundary block of the same row
     # group
     for r in range(R):
         @pl.when(useful_r[r] > 1)
         def _(r=r):
-            rmw_write_dma(
+            store_dma(
                 (useful_r[r] - 2) % 2, r, c_of(r, useful_r[r] - 2)
             ).wait()
 
         @pl.when(useful_r[r] > 0)
         def _(r=r):
-            rmw_write_dma(
+            store_dma(
                 (useful_r[r] - 1) % 2, r, c_of(r, useful_r[r] - 1)
             ).wait()
 
@@ -424,7 +437,7 @@ def _bwd_kernel(
 def backward_pair_grads(
     fields_t,                     # _sorted_fields_t output: ([6, M_pad] u32)
                                   # packed, or ([8, M_pad], [4, M_pad]) f32
-    carries: jnp.ndarray,         # [G, P, MAXC] forward carries
+    fin: jnp.ndarray,             # [G, P, 2] forward finals (carry, chunks)
     cot_tiles: jnp.ndarray,       # [G, P, 4] cotangents per tile pixel
     tile_start: jnp.ndarray,
     tile_count: jnp.ndarray,
@@ -448,7 +461,6 @@ def backward_pair_grads(
     grid_n = tile_ids.shape[0]
     p = ts * ts
     k_cap = max(KC, ((config.max_per_tile + KC - 1) // KC) * KC)
-    maxc = carries.shape[-1]
     m_pad = fields_t[0].shape[1]
 
     r = min(r_tiles or R_TILES_BWD, grid_n)
@@ -462,8 +474,10 @@ def backward_pair_grads(
     counts_s = jnp.concatenate(
         [jnp.minimum(tile_count, k_cap),
          jnp.zeros((1,), tile_count.dtype)]).astype(jnp.int32)
-    carries_p = jnp.concatenate(
-        [carries, jnp.full((pad, p, maxc), -1e30, carries.dtype)])
+    cfin_s = jnp.concatenate(
+        [fin[:, 0, 1].astype(jnp.int32), jnp.zeros((pad,), jnp.int32)])
+    fin_p = jnp.concatenate(
+        [fin, jnp.zeros((pad, p, 2), fin.dtype)])
     cot_p = jnp.concatenate(
         [cot_tiles, jnp.zeros((pad, p, 4), cot_tiles.dtype)])
 
@@ -486,26 +500,28 @@ def backward_pair_grads(
             pltpu.VMEM((2, r, 4, KC), jnp.float32),
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_groups,),
         in_specs=(
             [pl.BlockSpec(memory_space=pl.ANY)] * len(fields_t)        # slabs
             + [
-                pl.BlockSpec((r, p, maxc),
-                             lambda g, s, c, t: (g, 0, 0)),            # carries
-                pl.BlockSpec((r, p, 4), lambda g, s, c, t: (g, 0, 0)),  # cot
+                pl.BlockSpec((r, p, 2),
+                             lambda g, s, c, t, f: (g, 0, 0)),          # fin
+                pl.BlockSpec((r, p, 4),
+                             lambda g, s, c, t, f: (g, 0, 0)),          # cot
                 pl.BlockSpec(memory_space=pl.ANY),                     # dzero
             ]
         ),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=slab_scratch + [
-            pltpu.VMEM((2, r, F_PAD, KC), jnp.float32),
+            pltpu.VMEM((2, r, F_PAD, KC), jnp.float32),   # store staging
+            pltpu.VMEM((r, F_PAD, KC), jnp.float32),      # merge read
             pltpu.SemaphoreType.DMA((4, r, 2)),
         ],
     )
     dzero = jnp.zeros((r * F_PAD, m_pad), jnp.float32)
-    # flat input index of dzero incl. the 3 scalar-prefetch args
-    dzero_idx = 3 + len(fields_t) + 2
+    # flat input index of dzero incl. the 4 scalar-prefetch args
+    dzero_idx = 4 + len(fields_t) + 2
     dpairs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -517,8 +533,9 @@ def backward_pair_grads(
         starts_s,
         counts_s,
         tiles_padded,
+        cfin_s,
         *fields_t,
-        carries_p,
+        fin_p,
         cot_p,
         dzero,
     )

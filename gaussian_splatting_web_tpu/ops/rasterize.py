@@ -315,6 +315,12 @@ def render_impl(
 
     Returns (image [H, W, 3], aux) where aux carries alpha and binning stats.
     """
+    if config.dtype not in ("float32", "f32"):
+        # apply the configured scene-storage policy (bf16 SH/scale/quat/
+        # opacity, f32 positions) so RenderConfig(dtype=...) acts even when
+        # the caller didn't pre-convert the cloud; no-op on an already-
+        # converted cloud
+        cloud = cloud.with_storage_dtype(config.dtype)
     splats = project_gaussians(cloud, camera, width, height, config)
 
     if config.use_pallas == "always" or (

@@ -60,17 +60,26 @@ class TileBins:
                   free" from a measurement where XLA's sort simplifier had
                   DCE'd the unconsumed payloads), hence the packing.
     sorted_slot:  [n_slots] FULL sort permutation: position → originating
-                  slot id (tier A slot g·dₐ+k, tier B slot n·dₐ + j·d + k).
-                  Untruncated so the backward can sort the pair gradients
-                  BACK into dense slot order (key = sorted_slot, payloads =
-                  gradient rows) and fold onto splats with static
-                  reshape-sums — no gathers, no scatter-add
+                  slot id (tier A slot g·dₐ+k, then each compacted tier's
+                  [cap_j, w_j] grid in order). Untruncated so the backward
+                  can sort the pair gradients BACK into dense slot order
+                  (key = sorted_slot, payloads = gradient rows) and fold
+                  onto splats with static reshape-sums — no gathers, no
+                  pair-level scatter-add
                   (ops.pallas.raster._fold_pair_grads; ~18 ms vs 65 ms for
                   the round-1 invert+gather fold and 239 ms for segment_sum
                   at the 1M/1080p bench on v5e, tools/profile_r2.py).
-    idx_b:        [nb_cap] tier-B row → gaussian index ([0] if single-tier).
+    comp_idx:     per compacted tier, [cap_j] row → gaussian index
+                  (ascending; () when single-tier).
     tier_a_width: static dₐ (slots per gaussian in tier A).
-    tier_b_width: static d for tier B rows (0 = single tier).
+    comp_widths:  static slot widths of the compacted tiers, ascending
+                  (() = single tier). Round 3 added the optional MIDDLE
+                  tier (config.tier_mid): footprints ≤ 2 cover ~75% of a
+                  trained scene (tools CPU histogram), so
+                  (2, 4, max_dup) cuts the slot array 4.25M → 3.45M at the
+                  1M bench, and v5e lax.sort cost falls superlinearly with
+                  element count below ~4M (tools/sortexp.py: key+7payload
+                  41.6 ms @4.25M vs 23.8 ms @3.36M).
     """
 
     sorted_gidx: jax.Array | None
@@ -79,10 +88,10 @@ class TileBins:
     num_pairs: jax.Array
     overflow: jax.Array
     sorted_slot: jax.Array
-    idx_b: jax.Array
+    comp_idx: tuple
     sorted_fields: tuple | None = None
     tier_a_width: int = 0
-    tier_b_width: int = 0
+    comp_widths: tuple = ()
     pair_cap: int = 0
     fields_packed: bool = False
 
@@ -90,8 +99,8 @@ class TileBins:
 jax.tree_util.register_dataclass(
     TileBins,
     data_fields=["sorted_gidx", "tile_start", "tile_count", "num_pairs",
-                 "overflow", "sorted_slot", "idx_b", "sorted_fields"],
-    meta_fields=["tier_a_width", "tier_b_width", "pair_cap",
+                 "overflow", "sorted_slot", "comp_idx", "sorted_fields"],
+    meta_fields=["tier_a_width", "comp_widths", "pair_cap",
                  "fields_packed"],
 )
 
@@ -268,8 +277,9 @@ def sort_pair_arrays(tiers, field_payloads, num_tiles, n, num_pairs,
     live [R, d], gidx [R, d], depth [R]) blocks; slot ids are the flat
     concatenated indices. Implements both key modes (packed single key when
     config.depth_bits > 0, exact two-key otherwise) and the post-sort
-    gather-cap truncation. Shared by bin_splats and the gaussian-sharded
-    ring path (parallel.gaussian_sharded).
+    gather-cap truncation. Called by bin_splats; the sharded paths
+    (parallel.gaussian_sharded, the tile-subset kernels) reach it
+    transitively through bin_splats / composite_tiles_auto.
 
     `with_gidx=False` drops the gaussian-index payload (the fused-kernel
     path never gathers by id; sorted_gidx returns None) — each payload
@@ -444,55 +454,125 @@ def bin_splats(
 
     d_a = min(config.tier_split, d) if config.tier_split > 0 else d
     if d_a < d:
-        # Two-tier duplication: most splats touch ≤ tier_split tiles (for
-        # trained scenes ~98% fit in 4), so a full N×max_dup grid is mostly
-        # sentinel padding that the sort, the field gather, and the backward
-        # segment-sum all pay for. Tier A gives every gaussian d_a slots;
-        # the few with bigger footprints are compacted (a small gather, not
-        # a scatter) into tier B with max_dup slots each.
-        big = ntg_full > d_a
-        n_big = jnp.sum(big.astype(jnp.int32))
-        nb_cap = max(min(int(n * config.big_frac), n), 256)
+        # Tiered duplication: most splats touch few tiles (bench-scene CPU
+        # histogram: ≤2 covers 75%, ≤4 covers 99.4%), so a full N×max_dup
+        # grid is mostly sentinel padding that the sort, the field payloads,
+        # and the backward fold all pay for. Tier A gives every gaussian
+        # d_a slots; splats with bigger footprints are compacted (a small
+        # gather, not a scatter) into compacted tiers of ascending width —
+        # optionally a middle tier (config.tier_mid), then max_dup.
+        widths = []
+        if d_a < config.tier_mid < d:
+            widths.append((config.tier_mid,
+                           max(min(int(n * config.mid_frac), n), 256)))
+        widths.append((d, max(min(int(n * config.big_frac), n), 256)))
 
-        ntg_a = jnp.where(big, 0, jnp.minimum(ntg_full, d_a))
+        big_a = ntg_full > d_a
+        ntg_a = jnp.where(big_a, 0, ntg_full)
         tile_a, live_a = slot_tiles(x0, y0, rw, ntg_a, d_a, rows=rows_all)
         gidx_a = jnp.broadcast_to(
             jnp.arange(n, dtype=jnp.int32)[:, None], (n, d_a)
         )
-        depth_a = splats.depth
-
-        idx_b = jnp.nonzero(big, size=nb_cap, fill_value=0)[0].astype(jnp.int32)
-        valid_b = jnp.arange(nb_cap) < n_big
-        ntg_b = jnp.where(valid_b, jnp.minimum(ntg_full[idx_b], d), 0)
-        rows_b = (
-            tuple(r[idx_b] for r in rows_all) if rows_all is not None else None
-        )
-        tile_b, live_b = slot_tiles(
-            x0[idx_b], y0[idx_b], rw[idx_b], ntg_b, d, rows=rows_b
-        )
-        gidx_b = jnp.broadcast_to(idx_b[:, None], (nb_cap, d))
-        depth_b = splats.depth[idx_b]
-
-        overflow = (
-            jnp.sum((ntg_full > d).astype(jnp.int32))
-            + jnp.maximum(n_big - nb_cap, 0)
-        )
-        num_pairs = (
-            jnp.sum(live_a.astype(jnp.int32)) + jnp.sum(live_b.astype(jnp.int32))
-        )
-
-        tiers = [
-            (tile_a, live_a, gidx_a, depth_a),
-            (tile_b, live_b, gidx_b, depth_b),
-        ]
-        field_payloads = tuple(
-            jnp.concatenate([
-                jnp.broadcast_to(f[:, None], (n, d_a)).reshape(-1),
-                jnp.broadcast_to(f[idx_b][:, None], (nb_cap, d)).reshape(-1),
-            ])
+        tiers = [(tile_a, live_a, gidx_a, splats.depth)]
+        payload_parts = [
+            [jnp.broadcast_to(f[:, None], (n, d_a)).reshape(-1)]
             for f in field_cols
-        )
-        tier_a_width, tier_b_width = d_a, d
+        ]
+        overflow = jnp.sum((ntg_full > d).astype(jnp.int32))
+        num_pairs = jnp.sum(live_a.astype(jnp.int32))
+
+        # Compaction via ONE stable class sort, not jnp.nonzero: nonzero's
+        # TPU lowering costs ~11.6 ms per call at 1M (tools/sortexp.py)
+        # while a (class, iota) sort is ~2.2 ms. Stability keeps each
+        # class's indices ascending; tier j's block starts at the running
+        # class-count offset (dynamic_slice).
+        n_comp = len(widths)
+        cls = jnp.full((n,), n_comp, jnp.uint32)
+        prev_w = d_a
+        for j, (w_j, _) in enumerate(widths):
+            sel = ntg_full > prev_w
+            if w_j != d:
+                sel = jnp.logical_and(sel, ntg_full <= w_j)
+            cls = jnp.where(sel, jnp.uint32(j), cls)
+            prev_w = w_j
+        _, perm = jax.lax.sort(
+            (cls, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+        class_counts = [
+            jnp.sum((cls == j).astype(jnp.int32)) for j in range(n_comp)]
+        # pad so every dynamic_slice below fits unclamped (caps have a 256
+        # floor and may exceed n on tiny scenes)
+        perm = jnp.concatenate(
+            [perm, jnp.zeros((max(c for _, c in widths),), jnp.int32)])
+
+        # ONE aligned row-gather per compacted tier, not a dozen scattered
+        # element gathers: the per-splat values every tier needs (footprint
+        # rect, depth, field payload columns, optional cull rows) pack into
+        # a [n, R16] f32 row matrix first (int/u32 columns bitcast so the
+        # pack is exact), so each tier pays a single 64-byte-row gather
+        # (~5-7 ns/row on v5e) instead of ~10 element gathers (~12 ns/elem
+        # measured as a +35 ms forward regression at the 1M bench).
+        def _to_f32(a):
+            if a.dtype in (jnp.int32, jnp.uint32):
+                return jax.lax.bitcast_convert_type(a, jnp.float32)
+            return a
+        gcols = [x0, y0, rw, ntg_full, splats.depth]
+        gcols += list(field_cols)
+        if rows_all is not None:
+            gcols += list(rows_all)
+        rowpad = -len(gcols) % 8
+        packed_rows = jnp.stack(
+            [_to_f32(a) for a in gcols]
+            + [jnp.zeros((n,), jnp.float32)] * rowpad, axis=1)
+
+        comp_idx = []
+        comp_widths = []
+        offset = jnp.int32(0)
+        for j, (w_j, cap_j) in enumerate(widths):
+            n_sel = class_counts[j]
+            idx_j = jax.lax.dynamic_slice(perm, (offset,), (cap_j,))
+            valid_j = jnp.arange(cap_j) < n_sel
+            idx_j = jnp.where(valid_j, idx_j, 0)
+            offset = offset + n_sel
+
+            g = packed_rows[idx_j]                        # [cap_j, R16]
+            cols = {}
+            for k, a in enumerate(gcols):
+                col = g[:, k]
+                if a.dtype in (jnp.int32, jnp.uint32):
+                    col = jax.lax.bitcast_convert_type(col, a.dtype)
+                cols[k] = col
+            x0_j, y0_j, rw_j = cols[0], cols[1], cols[2]
+            ntg_sel = cols[3]
+            depth_j = cols[4]
+            fields_j = [cols[5 + k] for k in range(len(field_cols))]
+            if rows_all is not None:
+                rows_j = tuple(
+                    cols[5 + len(field_cols) + k]
+                    for k in range(len(rows_all)))
+            else:
+                rows_j = None
+
+            ntg_j = jnp.where(valid_j, jnp.minimum(ntg_sel, w_j), 0)
+            tile_j, live_j = slot_tiles(
+                x0_j, y0_j, rw_j, ntg_j, w_j, rows=rows_j
+            )
+            gidx_j = jnp.broadcast_to(idx_j[:, None], (cap_j, w_j))
+            tiers.append((tile_j, live_j, gidx_j, depth_j))
+            for part, f in zip(payload_parts, fields_j):
+                part.append(
+                    jnp.broadcast_to(f[:, None],
+                                     (cap_j, w_j)).reshape(-1))
+            overflow = overflow + jnp.maximum(n_sel - cap_j, 0)
+            num_pairs = num_pairs + jnp.sum(live_j.astype(jnp.int32))
+            comp_idx.append(idx_j)
+            comp_widths.append(w_j)
+            prev_w = w_j
+
+        field_payloads = tuple(
+            jnp.concatenate(part) for part in payload_parts)
+        tier_a_width = d_a
+        comp_idx = tuple(comp_idx)
+        comp_widths = tuple(comp_widths)
     else:
         ntg = jnp.minimum(ntg_full, d)
         tile_id, live = slot_tiles(x0, y0, rw, ntg, d, rows=rows_all)
@@ -506,8 +586,9 @@ def bin_splats(
             jnp.broadcast_to(f[:, None], (n, d)).reshape(-1)
             for f in field_cols
         )
-        tier_a_width, tier_b_width = d, 0
-        idx_b = jnp.zeros((0,), jnp.int32)
+        tier_a_width = d
+        comp_idx = ()
+        comp_widths = ()
 
     (sorted_gidx, sorted_slot, sorted_fields, tile_start, tile_count,
      num_pairs, overflow, pair_cap) = sort_pair_arrays(
@@ -522,9 +603,9 @@ def bin_splats(
         num_pairs=num_pairs,
         overflow=overflow,
         sorted_slot=sorted_slot,
-        idx_b=idx_b,
+        comp_idx=comp_idx,
         tier_a_width=tier_a_width,
-        tier_b_width=tier_b_width,
+        comp_widths=comp_widths,
         pair_cap=pair_cap,
         fields_packed=carry_fields and config.pack_fields,
     )

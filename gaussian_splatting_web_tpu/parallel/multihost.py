@@ -42,9 +42,13 @@ def initialize_multihost(
 
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS")
-    auto_env = os.environ.get("TPU_WORKER_HOSTNAMES") or os.environ.get(
-        "MEGASCALE_COORDINATOR_ADDRESS")
-    if coordinator_address is None and auto_env is None:
+    # auto-config environments (TPU VMs) list the worker hosts; a single
+    # entry means single-process — a no-op, NOT a distributed init (this
+    # environment's tunnel shim sets TPU_WORKER_HOSTNAMES=localhost)
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    auto_env = (len(hostnames.split(",")) > 1 and hostnames) or \
+        os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+    if coordinator_address is None and not auto_env:
         return False
     kwargs = {}
     if coordinator_address is not None:

@@ -162,8 +162,18 @@ def train(
     render_config: RenderConfig = RenderConfig(),
     loop: TrainLoopConfig = TrainLoopConfig(),
     on_log: Optional[Callable[[int, float, int], None]] = None,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 0,
 ):
-    """Run the full training loop. Returns (model, densify_state)."""
+    """Run the full training loop. Returns (model, densify_state).
+
+    With `checkpoint_dir`: resumes from the stored loop state when the
+    directory holds one (checkpoint-restart — the recovery model of
+    parallel.multihost), and, when `checkpoint_every` > 0, saves the full
+    loop state (TrainState + DensifyState + iteration) periodically. The
+    view-sampling RNG restarts from `loop.seed` on resume, so the exact
+    view sequence after a restart differs — harmless for SGD.
+    """
     import numpy as np
 
     extent = scene_extent(views)
@@ -192,7 +202,19 @@ def train(
     max_sh = model.max_sh_degree
     t0 = time.time()
 
-    for it in range(1, loop.iterations + 1):
+    start_it = 0
+    if checkpoint_dir:
+        from .checkpoint import (
+            has_checkpoint, restore_loop_state, save_loop_state,
+        )
+
+        if has_checkpoint(checkpoint_dir):
+            state, dstate, start_it = restore_loop_state(
+                checkpoint_dir, state, dstate)
+            print(f"resumed from {checkpoint_dir} at iteration {start_it}",
+                  file=sys.stderr)
+
+    for it in range(start_it + 1, loop.iterations + 1):
         sh_degree = min(it // loop.sh_upgrade_every, max_sh)
         vi = int(rng.integers(len(views)))
         state, dstate, loss = step_fn(
@@ -216,6 +238,9 @@ def train(
                 opt_state=reset_opt_opacity(state.opt_state, capacity),
                 step=state.step,
             )
+
+        if checkpoint_dir and checkpoint_every and it % checkpoint_every == 0:
+            save_loop_state(state, dstate, it, checkpoint_dir)
 
         if it % loop.log_every == 0:
             alive = int(jnp.sum(dstate.alive))

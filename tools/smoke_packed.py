@@ -1,3 +1,5 @@
+"""TPU smoke: fused packed path fwd/bwd runs and tracks the exact XLA
+path (asserted). Run on hardware; not library API."""
 import jax, jax.numpy as jnp, numpy as np
 from gaussian_splatting_web_tpu.bench_lib import make_scene
 from gaussian_splatting_web_tpu.config import RenderConfig
@@ -20,3 +22,8 @@ print("bwd ok", float(jnp.sum(jnp.abs(g.xyz))))
 cfg2 = RenderConfig(use_pallas="never", pack_fields=False)
 img2, _ = jax.jit(lambda c: render_impl(c, camera, W, H, cfg2))(cloud)
 print("maxdiff packed-pallas vs exact-xla:", float(jnp.max(jnp.abs(img - img2))))
+# assert rather than eyeball (ADVICE r2 item 1): packed-pallas vs exact-xla
+# image error is the documented bf16 payload quantization, ~1e-3 abs
+_md = float(jnp.max(jnp.abs(img - img2)))
+assert _md < 2e-2, f"packed-vs-exact maxdiff {_md}"
+print("smoke ok")
