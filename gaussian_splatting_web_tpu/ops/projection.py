@@ -71,7 +71,12 @@ def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
     its conjugated load-time quaternion (simple_render.ts:110-114 +
     ply.ts:202-213); see io.ply for the equivalence proof.
     """
-    q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    # normalize with the eps INSIDE the sqrt: `q / max(norm(q), eps)` has a
+    # finite VALUE at q = 0 but a NaN GRADIENT (d norm/dq = q/norm = 0/0),
+    # which zero-padded dead rows in the training arena hit every step —
+    # the NaN then spreads through Adam / global ops to live rows
+    q = q / jnp.sqrt(
+        jnp.maximum(jnp.sum(q * q, axis=-1, keepdims=True), 1e-24))
     x, y, z, w = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     xx, yy, zz = x * x, y * y, z * z
     xy, xz, yz = x * y, x * z, y * z

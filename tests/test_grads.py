@@ -123,3 +123,28 @@ def test_train_step_decreases_loss():
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.9, losses
     assert int(state.step) == 15
+
+
+def test_zero_quat_padded_rows_finite_grads():
+    """Dead zero-padded arena rows (quat = 0) must produce FINITE gradients:
+    `q / max(norm(q), eps)` has a NaN gradient at q = 0 (d norm/dq = 0/0)
+    even though its value is fine — a latent trainer killer the round-3
+    safe-normalize (eps inside the sqrt) fixes (projection.quat_to_rotmat).
+    """
+    import numpy as np
+    from gaussian_splatting_web_tpu.models.gaussian_model import GaussianModel
+    from gaussian_splatting_web_tpu.train.densify import (
+        DEAD_OPACITY, pad_to_capacity,
+    )
+
+    cloud = make_random_cloud(8, seed=3, sh_degree=0)
+    model, dstate = pad_to_capacity(GaussianModel.from_cloud(cloud), 16)
+    assert float(model.quat[-1].sum()) == 0.0  # zero-padded dead row
+
+    def loss(m):
+        img, _ = render_impl(m.to_cloud(0), _camera(), W, H, CFG)
+        return jnp.sum(img ** 2)
+
+    g = jax.grad(loss)(model)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()

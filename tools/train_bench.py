@@ -30,7 +30,16 @@ def main():
     ap.add_argument("--views", type=int, default=8)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default="train_bench.json")
+    ap.add_argument("--scale", action="store_true",
+                    help="the VERDICT r2 item-7 configuration: 416x312, "
+                    "SH degree 3, 16 views, thousands of gaussians, "
+                    "densify active, jitted-step ms/it measured on device")
     args = ap.parse_args()
+    if args.scale:
+        args.width, args.height = 416, 312
+        args.views = 16
+        args.iters = max(args.iters, 1500)
+        args.out = "train_bench_scale.json"
 
     if args.cpu:
         import jax
@@ -53,9 +62,20 @@ def main():
 
     enable_compile_cache()
     w, h = args.width, args.height
-    cfg = RenderConfig(max_dup=32, max_per_tile=128, tile_chunk=8)
-
-    target_cloud = make_random_cloud(96, seed=7, sh_degree=1, spread=1.2)
+    if args.scale:
+        cfg = RenderConfig(max_dup=32, max_per_tile=512, tile_chunk=8)
+        # ground truth: a 4k-splat SH-3 cloud — recoverable by the INRIA
+        # recipe (the target IS a gaussian mixture) yet big enough that
+        # the fit must densify into the thousands
+        target_cloud = make_random_cloud(4000, seed=7, sh_degree=3,
+                                         spread=1.0)
+        sh_degree_start = 3
+        n_start = 2000
+    else:
+        cfg = RenderConfig(max_dup=32, max_per_tile=128, tile_chunk=8)
+        target_cloud = make_random_cloud(96, seed=7, sh_degree=1, spread=1.2)
+        sh_degree_start = 1
+        n_start = 96
 
     def camera_at(angle, y=0.4):
         eye = (4.0 * np.sin(angle), y, -4.0 * np.cos(angle))
@@ -70,7 +90,8 @@ def main():
     held_out_img, _ = render(target_cloud, held_out_cam, w, h, cfg)
 
     start = GaussianModel.from_cloud(
-        make_random_cloud(96, seed=99, sh_degree=1, spread=1.2)
+        make_random_cloud(n_start, seed=99, sh_degree=sh_degree_start,
+                          spread=1.2)
     )
 
     t0 = time.time()
@@ -95,6 +116,28 @@ def main():
         start, views, w, h, render_config=cfg, loop=loop, on_log=on_log)
     wall = time.time() - t0
 
+    # ms/iteration of the JITTED train step at fixed shapes (post-warmup).
+    # On this environment's tunneled TPU each dispatch pays ~30 ms of
+    # relay overhead no local deployment would see; wall-clock ms/it above
+    # includes it, this number measures the step itself per call.
+    import jax.numpy as jnp
+
+    from gaussian_splatting_web_tpu.io.dataset import scene_extent
+    from gaussian_splatting_web_tpu.train.train_loop import (
+        make_densify_train_step,
+    )
+    from gaussian_splatting_web_tpu.train.trainer import make_optimizer
+    from gaussian_splatting_web_tpu.utils.metrics import time_fn
+
+    optimizer = make_optimizer(scene_extent=scene_extent(views))
+    step_fn = make_densify_train_step(optimizer, w, h, cfg,
+                                      loop.lambda_dssim)
+    sh_final = min(args.iters // loop.sh_upgrade_every,
+                   start.max_sh_degree)
+    t_step = time_fn(step_fn, state, dstate, views[0].camera,
+                     jnp.asarray(views[0].image), sh_final,
+                     iters=6, warmup=2)
+
     final = compact(state.params, dstate)
     img, _ = render(final.to_cloud(), held_out_cam, w, h, cfg)
     final_psnr = psnr(img, held_out_img)
@@ -111,7 +154,11 @@ def main():
         "iters": args.iters,
         "resolution": [w, h],
         "views": args.views,
+        "sh_degree": sh_final,
         "seconds": round(wall, 1),
+        "ms_per_iter_wall": round(wall / args.iters * 1e3, 1),
+        "ms_per_iter_jitted_step": round(t_step * 1e3, 1),
+        "platform": __import__("jax").default_backend(),
         "init_psnr_heldout": round(init_psnr, 2),
         "final_psnr_heldout": round(final_psnr, 2),
         "final_psnr_train_mean": round(float(np.mean(train_psnrs)), 2),
