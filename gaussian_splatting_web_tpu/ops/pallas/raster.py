@@ -661,19 +661,33 @@ def _fold_pair_grads(dpairs: jnp.ndarray, bins: TileBins, n: int,
         [r[: n * d_a].reshape(n, d_a).sum(axis=1) for r in sorted_back],
         axis=1,
     )                                                          # [N, 9]
-    off = n * d_a
-    for w_j, idx_j in zip(bins.comp_widths, bins.comp_idx):
-        cap_j = idx_j.shape[0]
-        seg_j = jnp.stack(
-            [r[off:off + cap_j * w_j].reshape(cap_j, w_j).sum(axis=1)
-             for r in sorted_back],
-            axis=1,
-        )
-        # idx_j is ascending-unique (nonzero output) so this scatter-add is
-        # over sorted unique row indices — small (cap_j ≪ pairs) vs the
-        # pair-level segment_sum this fold design avoids
-        seg = seg + jax.ops.segment_sum(seg_j, idx_j, num_segments=n)
-        off += cap_j * w_j
+    if bins.comp_widths:
+        # Compacted-tier fold WITHOUT a scatter-add (a 300k-row
+        # segment_sum costs 18 ms on v5e, tools/sortexp2.py): the tiers'
+        # row order IS the class-sort permutation, so place each tier's
+        # per-splat sums into one perm-order buffer at its class offset
+        # (ascending-offset writes: a tier's zero padding rows may overlap
+        # the NEXT tier's block start and are overwritten by its real
+        # rows), invert the permutation with one small sort, and bring
+        # everything to gaussian order with a single padded row gather.
+        off = n * d_a
+        buf = jnp.zeros((bins.comp_perm.shape[0], 16), jnp.float32)
+        for j, (w_j, idx_j) in enumerate(
+                zip(bins.comp_widths, bins.comp_idx)):
+            cap_j = idx_j.shape[0]
+            seg_j = jnp.stack(
+                [r[off:off + cap_j * w_j].reshape(cap_j, w_j).sum(axis=1)
+                 for r in sorted_back]
+                + [jnp.zeros((cap_j,), jnp.float32)] * 7,
+                axis=1,
+            )                                                  # [cap_j, 16]
+            buf = jax.lax.dynamic_update_slice(
+                buf, seg_j, (bins.comp_offsets[j], 0))
+            off += cap_j * w_j
+        _, inv = jax.lax.sort(
+            (bins.comp_perm[:n], jnp.arange(n, dtype=jnp.int32)),
+            num_keys=1)
+        seg = seg + buf[inv][:, :9]
     return seg
 
 

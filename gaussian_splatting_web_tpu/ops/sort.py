@@ -71,6 +71,16 @@ class TileBins:
                   at the 1M/1080p bench on v5e, tools/profile_r2.py).
     comp_idx:     per compacted tier, [cap_j] row → gaussian index
                   (ascending; () when single-tier).
+    comp_perm:    [n + maxcap] class-sort permutation (position → gaussian
+                  id, classes in tier order, then the rest; tail padding
+                  zeros), or None when single-tier. With comp_offsets
+                  ([L] i32 start offsets of each tier's block) it lets the
+                  backward fold place every compacted tier's per-splat
+                  gradient sums into ONE perm-order buffer with
+                  dynamic_update_slice and bring them to gaussian order
+                  with a single row gather — a 300k-row
+                  `segment_sum` scatter costs 18 ms on v5e
+                  (tools/sortexp2.py), the buffer+gather ~6 ms.
     tier_a_width: static dₐ (slots per gaussian in tier A).
     comp_widths:  static slot widths of the compacted tiers, ascending
                   (() = single tier). Round 3 added the optional MIDDLE
@@ -89,6 +99,8 @@ class TileBins:
     overflow: jax.Array
     sorted_slot: jax.Array
     comp_idx: tuple
+    comp_perm: jax.Array | None = None
+    comp_offsets: jax.Array | None = None
     sorted_fields: tuple | None = None
     tier_a_width: int = 0
     comp_widths: tuple = ()
@@ -99,7 +111,8 @@ class TileBins:
 jax.tree_util.register_dataclass(
     TileBins,
     data_fields=["sorted_gidx", "tile_start", "tile_count", "num_pairs",
-                 "overflow", "sorted_slot", "comp_idx", "sorted_fields"],
+                 "overflow", "sorted_slot", "comp_idx", "comp_perm",
+                 "comp_offsets", "sorted_fields"],
     meta_fields=["tier_a_width", "comp_widths", "pair_cap",
                  "fields_packed"],
 )
@@ -526,8 +539,10 @@ def bin_splats(
 
         comp_idx = []
         comp_widths = []
+        comp_offsets = []
         offset = jnp.int32(0)
         for j, (w_j, cap_j) in enumerate(widths):
+            comp_offsets.append(offset)
             n_sel = class_counts[j]
             idx_j = jax.lax.dynamic_slice(perm, (offset,), (cap_j,))
             valid_j = jnp.arange(cap_j) < n_sel
@@ -573,6 +588,8 @@ def bin_splats(
         tier_a_width = d_a
         comp_idx = tuple(comp_idx)
         comp_widths = tuple(comp_widths)
+        comp_perm = perm
+        comp_offsets = jnp.stack(comp_offsets)
     else:
         ntg = jnp.minimum(ntg_full, d)
         tile_id, live = slot_tiles(x0, y0, rw, ntg, d, rows=rows_all)
@@ -589,6 +606,8 @@ def bin_splats(
         tier_a_width = d
         comp_idx = ()
         comp_widths = ()
+        comp_perm = None
+        comp_offsets = None
 
     (sorted_gidx, sorted_slot, sorted_fields, tile_start, tile_count,
      num_pairs, overflow, pair_cap) = sort_pair_arrays(
@@ -604,6 +623,8 @@ def bin_splats(
         overflow=overflow,
         sorted_slot=sorted_slot,
         comp_idx=comp_idx,
+        comp_perm=comp_perm,
+        comp_offsets=comp_offsets,
         tier_a_width=tier_a_width,
         comp_widths=comp_widths,
         pair_cap=pair_cap,

@@ -132,6 +132,174 @@ def render_gaussian_sharded(
     return img[..., :3], img[..., 3]
 
 
+def _pack_splat_rows(splats):
+    """ProjectedSplats → [n, 16] f32 row matrix (11 fields + valid flag +
+    zero padding) so ring hops and candidate compaction move ONE aligned
+    row array instead of seven leaves."""
+    n = splats.depth.shape[0]
+    return jnp.concatenate(
+        [
+            splats.mean2d,
+            splats.conic,
+            splats.depth[:, None],
+            splats.radius[:, None],
+            splats.rgb,
+            splats.opacity[:, None],
+            splats.valid.astype(jnp.float32)[:, None],
+            jnp.zeros((n, 4), jnp.float32),
+        ],
+        axis=1,
+    )
+
+
+def _unpack_splat_rows(rows):
+    from ..ops.projection import ProjectedSplats
+
+    return ProjectedSplats(
+        mean2d=rows[:, 0:2],
+        conic=rows[:, 2:5],
+        depth=rows[:, 5],
+        radius=rows[:, 6],
+        rgb=rows[:, 7:10],
+        opacity=rows[:, 10],
+        valid=rows[:, 11] > 0.5,
+    )
+
+
+def banded_tile_rows(gy: int, n_shards: int) -> int:
+    """Tile rows per band (contiguous row-band tile ownership)."""
+    return -(-gy // n_shards)
+
+
+def banded_cap_hop(n: int, s: int, cand_factor: float) -> int:
+    """Per-hop candidate capacity of the ring-sharded binning: expected
+    candidates/hop is n_s/s (one shard's splats landing in one band), with
+    `cand_factor` safety, a 256 floor, and the shard size as the cap."""
+    n_s = n // s
+    return min(n_s, max(int(cand_factor * n_s / s), 256))
+
+
+def render_gaussian_sharded_banded(
+    cloud: GaussianCloud,
+    camera: CameraParams,
+    width: int,
+    height: int,
+    mesh: Mesh,
+    config: RenderConfig = RenderConfig(),
+    cand_factor: float = 2.5,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Gaussian-sharded forward render with RING-SHARDED BINNING — the
+    round-2 follow-up (gaussian_sharded module notes): per ring hop each
+    device keeps only the splats whose footprint rows intersect its
+    CONTIGUOUS band of tile rows, so the binning sort, the compositor
+    slabs, and peak activations are O(N·d/S) per device instead of O(N·d).
+
+    Mechanics: project the owned shard; walk every shard's packed splat
+    rows around the ppermute ring; per hop, a conservative band-overlap
+    test + a stable (class, iota) sort compacts the passing block to
+    `cap_hop = cand_factor·n_s/S` candidate rows (overflow counted, like
+    binning); the concatenated S·cap_hop ≈ cand_factor·N/S candidates
+    then go through the ordinary subset compositor, which bins ONLY them.
+    Exact while candidates fit the cap: the band test uses the same
+    footprint rect as binning, so no contributing splat is dropped. Under
+    depth_bits > 0 the packed key breaks depth TIES by input position, and
+    the ring reorders candidates, so tie pixels may differ from the
+    replicated path (same caveat as any re-ordering — the documented
+    quantized-key semantics); depth_bits=0 is bit-identical. Tier-cap /
+    gather-cap overflow likewise truncates by input position — exactness
+    claims require overflow == 0 (it is returned for exactly this).
+
+    Tile ownership is contiguous row bands (not the strided deal of the
+    replicated-binning path): band locality is what makes candidate
+    filtering possible; the cost is spatial load skew — the static
+    tradeoff documented in SURVEY §7 "Load balance".
+
+    Returns (rgb, alpha, overflow), replicated.
+    """
+    from ..ops.sort import _footprints
+
+    gx, gy = config.grid_size(width, height)
+    num_tiles = gx * gy
+    s = mesh.shape[AXES.tile]
+    rows_per = banded_tile_rows(gy, s)
+    per_band = rows_per * gx
+    chunk = min(config.tile_chunk, per_band)
+    per_pad = -(-per_band // chunk) * chunk
+    n = cloud.num_gaussians
+    n_s = n // s
+    cap_hop = banded_cap_hop(n, s, cand_factor)
+    mesh_platform = mesh.devices.flat[0].platform
+    ts = config.tile_size
+
+    # band b tiles are globally contiguous [b·per_band, (b+1)·per_band);
+    # pad each band's list to a chunk multiple with repeated ids (their
+    # duplicate tiles are sliced off before assembly)
+    band_tiles = jnp.minimum(
+        jnp.arange(s * per_pad, dtype=jnp.int32).reshape(s, per_pad)
+        % per_pad + (jnp.arange(s, dtype=jnp.int32) * per_band)[:, None],
+        num_tiles - 1,
+    ).reshape(-1)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(AXES.tile), P(), P(AXES.tile)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def run(cloud_shard, camera, my_tiles):
+        splats_shard = project_gaussians(
+            cloud_shard, camera, width, height, config
+        )
+        packed = _pack_splat_rows(splats_shard)        # [n_s, 16]
+        # footprint tile-row range of each owned splat (same rect the
+        # binning uses → the band test is conservative-exact)
+        x0, y0, rw, rh = _footprints(splats_shard, width, height, config)
+        prows = packed.at[:, 12].set(y0.astype(jnp.float32))
+        prows = prows.at[:, 13].set((y0 + rh).astype(jnp.float32))
+
+        my = jax.lax.axis_index(AXES.tile)
+        band_lo = (my * rows_per).astype(jnp.float32)
+        band_hi = band_lo + rows_per
+        perm = [(i, (i + 1) % s) for i in range(s)]
+
+        def hop(blk, _):
+            y0b = blk[:, 12]
+            y1b = blk[:, 13]
+            live = blk[:, 11] > 0.5
+            mask = jnp.logical_and(
+                jnp.logical_and(y1b > band_lo, y0b < band_hi), live)
+            n_hit = jnp.sum(mask.astype(jnp.int32))
+            key = jnp.where(mask, jnp.uint32(0), jnp.uint32(1))
+            _, idx = jax.lax.sort(
+                (key, jnp.arange(blk.shape[0], dtype=jnp.int32)),
+                num_keys=1)
+            idx = idx[:cap_hop]
+            cand = blk[idx]                            # [cap_hop, 16]
+            ok = jnp.arange(cap_hop) < n_hit
+            cand = jnp.where(ok[:, None], cand, 0.0)   # dead rows: valid=0
+            nxt = jax.lax.ppermute(blk, AXES.tile, perm)
+            return nxt, (cand, jnp.maximum(n_hit - cap_hop, 0))
+
+        _, (cands, over) = jax.lax.scan(hop, prows, None, length=s)
+        local_splats = _unpack_splat_rows(
+            cands.reshape(s * cap_hop, 16))
+        tiles = composite_tiles_auto(
+            local_splats, my_tiles, width, height, config, gx,
+            platform=mesh_platform)
+        gathered = jax.lax.all_gather(
+            tiles.reshape(per_pad, ts * ts, 4), AXES.tile, tiled=False)
+        overflow = jax.lax.psum(jnp.sum(over), AXES.tile)
+        return gathered, overflow
+
+    gathered, overflow = run(cloud, camera, band_tiles)
+    # bands are contiguous: [S, per_pad, ...] → slice each band's real
+    # tiles → global row-major order → crop the last band's padding
+    tiles = gathered[:, :per_band].reshape(-1, ts, ts, 4)
+    img = assemble_image(tiles[:num_tiles], width, height, gx, gy)
+    return img[..., :3], img[..., 3], overflow
+
+
 def make_gaussian_sharded_train_step(
     optimizer: optax.GradientTransformation,
     width: int,
