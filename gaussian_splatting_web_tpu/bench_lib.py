@@ -319,11 +319,15 @@ def run(
             and not os.environ.get("GSWT_BENCH_SKIP_PARITY")):
         try:
             g = _grad_parity(cloud, camera, width, height, config)
-            ok = g["grad_p99"] <= 1e-2
+            # round-3 tightened gate (VERDICT r2 item 6): with the XLA
+            # compositor evaluating the kernel's tile-local bilinear-form
+            # power, discrete-mask flips are ~gone — gate the MAX, not
+            # just p99
+            ok = g["grad_p99"] <= 1e-3 and g["grad_max"] <= 1e-2
             _log(f"grad parity (pallas vs xla, same device): "
                  f"p50={g['grad_p50']:.2e} p99={g['grad_p99']:.2e} "
                  f"max={g['grad_max']:.2e} loss_rel={g['loss_rel']:.2e} "
-                 f"gate(p99<=1e-2): {'PASS' if ok else 'FAIL'}")
+                 f"gate(p99<=1e-3, max<=1e-2): {'PASS' if ok else 'FAIL'}")
             result.update({f"parity_{k}": round(v, 8) for k, v in g.items()})
             result["parity_gate_ok"] = bool(ok)
         except Exception as e:  # pragma: no cover — don't lose the perf

@@ -657,8 +657,10 @@ def _fold_pair_grads(dpairs: jnp.ndarray, bins: TileBins, n: int,
         sorted_back = jax.lax.sort(
             (bins.sorted_slot.astype(jnp.uint32),) + rows, num_keys=1
         )[1:]
+    # slot-major tier grids ([d, n], see candidate_slot_tiles): a splat's
+    # slots are strided, so the per-splat reduction sums axis 0
     seg = jnp.stack(
-        [r[: n * d_a].reshape(n, d_a).sum(axis=1) for r in sorted_back],
+        [r[: n * d_a].reshape(d_a, n).sum(axis=0) for r in sorted_back],
         axis=1,
     )                                                          # [N, 9]
     if bins.comp_widths:
@@ -676,7 +678,7 @@ def _fold_pair_grads(dpairs: jnp.ndarray, bins: TileBins, n: int,
                 zip(bins.comp_widths, bins.comp_idx)):
             cap_j = idx_j.shape[0]
             seg_j = jnp.stack(
-                [r[off:off + cap_j * w_j].reshape(cap_j, w_j).sum(axis=1)
+                [r[off:off + cap_j * w_j].reshape(w_j, cap_j).sum(axis=0)
                  for r in sorted_back]
                 + [jnp.zeros((cap_j,), jnp.float32)] * 7,
                 axis=1,

@@ -158,24 +158,46 @@ def _composite_chunk(
     rgb = slab[..., 5:8]
     opac = slab[..., 8]
 
-    # pixel centers of each tile, flattened row-major → [C, P]
-    tx = (tile_ids % gx).astype(jnp.float32)
-    ty = (tile_ids // gx).astype(jnp.float32)
+    # TILE-LOCAL pixel coordinates, falloff as the SAME rank-6 bilinear
+    # form the fused Pallas kernel evaluates (power is quadratic in the
+    # pixel coords: power = Σ_b u_b(px,py)·v_b(splat); raster.py
+    # chunk_body): aligning the algebra keeps the two compositor paths'
+    # power values within the kernel's bf16x3 error (~1e-6 abs) instead
+    # of ~1e-5 from a differently-associated direct conic evaluation, so
+    # the discrete masks (1/255 cutoff, 0.99 clamp, 1e-4 early exit)
+    # almost never flip between paths (VERDICT r2 item 6: grad-parity
+    # max tail).
+    tx = (tile_ids % gx).astype(jnp.float32) * ts           # [C]
+    ty = (tile_ids // gx).astype(jnp.float32) * ts
     u = jnp.arange(ts, dtype=jnp.float32)
-    px = tx[:, None, None] * ts + u[None, None, :]          # [C, 1, ts] cols
-    py = ty[:, None, None] * ts + u[None, :, None]          # [C, ts, 1] rows
-    px = jnp.broadcast_to(px, (c, ts, ts)).reshape(c, p)
-    py = jnp.broadcast_to(py, (c, ts, ts)).reshape(c, p)
+    px = jnp.broadcast_to(u[None, :], (ts, ts)).reshape(p)  # [P] tile-local
+    py = jnp.broadcast_to(u[:, None], (ts, ts)).reshape(p)
+    u_mat = jnp.stack(
+        [jnp.ones((p,), jnp.float32), px, py, px * px, py * py, px * py],
+        axis=1,
+    )                                                       # [P, 6]
 
-    # Gaussian falloff: α = σ(o)·exp(-½ (A dx² + 2B dx dy + C dy²))
-    # (INRIA conic form; the reference computes the same falloff through quad
-    # UVs, simple_render.ts:174-178.)
-    dx = px[:, None, :] - mean[..., 0:1]                    # [C, K, P]
-    dy = py[:, None, :] - mean[..., 1:2]
-    power = -0.5 * (
-        conic[..., 0:1] * dx * dx
-        + conic[..., 2:3] * dy * dy
-    ) - conic[..., 1:2] * dx * dy
+    mxl = mean[..., 0] - tx[:, None]                        # [C, K] local
+    myl = mean[..., 1] - ty[:, None]
+    ca, cb, cc = conic[..., 0], conic[..., 1], conic[..., 2]
+    v_mat = jnp.stack(
+        [
+            -(0.5 * ca * mxl * mxl + cb * mxl * myl + 0.5 * cc * myl * myl),
+            ca * mxl + cb * myl,
+            cc * myl + cb * mxl,
+            -0.5 * ca,
+            -0.5 * cc,
+            -cb,
+        ],
+        axis=-1,
+    )                                                       # [C, K, 6]
+    # precision='highest': this stack compiles with
+    # --xla_allow_excess_precision, under which a default-precision f32
+    # contraction may lower to single-pass bf16 on TPU (the ARCHITECTURE.md
+    # "precision trap") — that would corrupt alpha by ~30%
+    power = jnp.einsum("pb,ckb->ckp", u_mat, v_mat,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)  # [C, K, P]
     power = jnp.minimum(power, 0.0)
     alpha = jnp.minimum(opac[..., None] * jnp.exp(power), config.alpha_max)
     alpha = jnp.where(alpha < config.alpha_cutoff, 0.0, alpha)  # :191-193

@@ -60,8 +60,9 @@ class TileBins:
                   free" from a measurement where XLA's sort simplifier had
                   DCE'd the unconsumed payloads), hence the packing.
     sorted_slot:  [n_slots] FULL sort permutation: position → originating
-                  slot id (tier A slot g·dₐ+k, then each compacted tier's
-                  [cap_j, w_j] grid in order). Untruncated so the backward
+                  slot id, SLOT-MAJOR (tier A slot k·n+g, then each
+                  compacted tier's [w_j, cap_j] grid in order — see
+                  candidate_slot_tiles on why the minor dim is splats). Untruncated so the backward
                   can sort the pair gradients BACK into dense slot order
                   (key = sorted_slot, payloads = gradient rows) and fold
                   onto splats with static reshape-sums — no gathers, no
@@ -255,29 +256,36 @@ def _rect_quad_min(qa, qb, qc, dx0, dx1, dy0, dy1):
 
 def candidate_slot_tiles(x0, y0, rw, ntg, d, gx, num_tiles, ts, rows=None):
     """Dense slot grid: slot k → k-th tile of the footprint (row-major).
-    Returns (tile [R, d] int32 with `num_tiles` as the dead sentinel,
-    live [R, d] bool).
+    Returns (tile [d, R] int32 with `num_tiles` as the dead sentinel,
+    live [d, R] bool).
 
-    With `rows` = (mx, my, A, B, C, τ) per row, each slot additionally
+    SLOT-MAJOR layout ([d, R], splats in the MINOR dim): XLA-TPU pads the
+    minor dimension of a rank-2 array to 128 lanes, so the natural
+    [R, d_a] grid with d_a = 2 materializes 64× oversized (a [1M, 2] f32
+    broadcast costs 512 MB of relayout traffic); [d, R] keeps the minor
+    dim at R = millions, unpadded. Flattening therefore yields slot-major
+    order: slot id (within a tier block) = k·R + g.
+
+    With `rows` = (mx, my, A, B, C, τ) per splat, each slot additionally
     passes an EXACT ellipse–tile-rect overlap test (_rect_quad_min):
     corner tiles of the bounding rect that the cutoff level-set ellipse
     misses are marked dead and sort to the end with the sentinels —
     output-exact pair-count reduction (the compositor zeroes
     alpha < cutoff for every pixel of such tiles)."""
-    slot = jnp.arange(d, dtype=jnp.int32)[None, :]
-    live = slot < ntg[:, None]
-    safe_rw = jnp.maximum(rw, 1)[:, None]
-    ty = y0[:, None] + slot // safe_rw
-    tx = x0[:, None] + slot % safe_rw
+    slot = jnp.arange(d, dtype=jnp.int32)[:, None]        # [d, 1]
+    live = slot < ntg[None, :]                            # [d, R]
+    safe_rw = jnp.maximum(rw, 1)[None, :]
+    ty = y0[None, :] + slot // safe_rw
+    tx = x0[None, :] + slot % safe_rw
     if rows is not None:
         mx, my, qa, qb, qc, tau = rows
-        dx0 = tx.astype(jnp.float32) * ts - mx[:, None]
-        dy0 = ty.astype(jnp.float32) * ts - my[:, None]
+        dx0 = tx.astype(jnp.float32) * ts - mx[None, :]
+        dy0 = ty.astype(jnp.float32) * ts - my[None, :]
         qmin = _rect_quad_min(
-            qa[:, None], qb[:, None], qc[:, None],
+            qa[None, :], qb[None, :], qc[None, :],
             dx0, dx0 + (ts - 1), dy0, dy0 + (ts - 1),
         )
-        live = live & (qmin <= tau[:, None] + TAU_SLACK)
+        live = live & (qmin <= tau[None, :] + TAU_SLACK)
     tile = jnp.where(live, ty * gx + tx, num_tiles)
     return tile, live
 
@@ -286,9 +294,10 @@ def sort_pair_arrays(tiers, field_payloads, num_tiles, n, num_pairs,
                      overflow, config: RenderConfig, with_gidx: bool = True):
     """Sort (tile, depth) pair tiers into per-tile depth-ordered segments.
 
-    `tiers` is a list of (tile_id [R, d] with `num_tiles` sentinel,
-    live [R, d], gidx [R, d], depth [R]) blocks; slot ids are the flat
-    concatenated indices. Implements both key modes (packed single key when
+    `tiers` is a list of (tile_id [d, R] with `num_tiles` sentinel,
+    live [d, R], gidx [d, R], depth [R]) blocks — slot-major (see
+    candidate_slot_tiles); slot ids are the flat concatenated indices
+    (tier block offset + k·R + g). Implements both key modes (packed single key when
     config.depth_bits > 0, exact two-key otherwise) and the post-sort
     gather-cap truncation. Called by bin_splats; the sharded paths
     (parallel.gaussian_sharded, the tile-subset kernels) reach it
@@ -307,13 +316,13 @@ def sort_pair_arrays(tiers, field_payloads, num_tiles, n, num_pairs,
         keys, gidxs = [], []
         for tile_id, live, gidx, depth in tiers:
             dkey = float_to_sortable_uint(depth) >> (32 - depth_bits)
-            key = (tile_id.astype(jnp.uint32) << depth_bits) | dkey[:, None]
+            key = (tile_id.astype(jnp.uint32) << depth_bits) | dkey[None, :]
             keys.append(
                 jnp.where(live, key, jnp.uint32(0xFFFFFFFF)).reshape(-1))
             gidxs.append(gidx.reshape(-1))
         keys = jnp.concatenate(keys)
-        # slot payload: the concatenated flat index IS the slot id (tier A
-        # row-major [n, dₐ], then tier B [nb_cap, d])
+        # slot payload: the concatenated flat index IS the slot id
+        # (slot-major [dₐ, n] tier A, then each compacted [w_j, cap_j])
         slot_iota = jnp.arange(keys.shape[0], dtype=jnp.int32)
         gidx_ops = (jnp.concatenate(gidxs),) if with_gidx else ()
         sorted_key, *rest = jax.lax.sort(
@@ -331,10 +340,10 @@ def sort_pair_arrays(tiers, field_payloads, num_tiles, n, num_pairs,
     else:
         tiles_flat, depths_flat, gidx_flat = [], [], []
         for tile_id, live, gidx, depth in tiers:
-            rows, dd = tile_id.shape
+            dd, rows = tile_id.shape
             tiles_flat.append(tile_id.astype(jnp.int32).reshape(-1))
             depths_flat.append(
-                jnp.broadcast_to(depth[:, None], (rows, dd))
+                jnp.broadcast_to(depth[None, :], (dd, rows))
                 .astype(jnp.float32).reshape(-1)
             )
             gidx_flat.append(gidx.reshape(-1))
@@ -484,11 +493,11 @@ def bin_splats(
         ntg_a = jnp.where(big_a, 0, ntg_full)
         tile_a, live_a = slot_tiles(x0, y0, rw, ntg_a, d_a, rows=rows_all)
         gidx_a = jnp.broadcast_to(
-            jnp.arange(n, dtype=jnp.int32)[:, None], (n, d_a)
+            jnp.arange(n, dtype=jnp.int32)[None, :], (d_a, n)
         )
         tiers = [(tile_a, live_a, gidx_a, splats.depth)]
         payload_parts = [
-            [jnp.broadcast_to(f[:, None], (n, d_a)).reshape(-1)]
+            [jnp.broadcast_to(f[None, :], (d_a, n)).reshape(-1)]
             for f in field_cols
         ]
         overflow = jnp.sum((ntg_full > d).astype(jnp.int32))
@@ -571,12 +580,12 @@ def bin_splats(
             tile_j, live_j = slot_tiles(
                 x0_j, y0_j, rw_j, ntg_j, w_j, rows=rows_j
             )
-            gidx_j = jnp.broadcast_to(idx_j[:, None], (cap_j, w_j))
+            gidx_j = jnp.broadcast_to(idx_j[None, :], (w_j, cap_j))
             tiers.append((tile_j, live_j, gidx_j, depth_j))
             for part, f in zip(payload_parts, fields_j):
                 part.append(
-                    jnp.broadcast_to(f[:, None],
-                                     (cap_j, w_j)).reshape(-1))
+                    jnp.broadcast_to(f[None, :],
+                                     (w_j, cap_j)).reshape(-1))
             overflow = overflow + jnp.maximum(n_sel - cap_j, 0)
             num_pairs = num_pairs + jnp.sum(live_j.astype(jnp.int32))
             comp_idx.append(idx_j)
@@ -594,13 +603,13 @@ def bin_splats(
         ntg = jnp.minimum(ntg_full, d)
         tile_id, live = slot_tiles(x0, y0, rw, ntg, d, rows=rows_all)
         gidx = jnp.broadcast_to(
-            jnp.arange(n, dtype=jnp.int32)[:, None], (n, d)
+            jnp.arange(n, dtype=jnp.int32)[None, :], (d, n)
         )
         overflow = jnp.sum((ntg_full > d).astype(jnp.int32))
         num_pairs = jnp.sum(live.astype(jnp.int32))
         tiers = [(tile_id, live, gidx, splats.depth)]
         field_payloads = tuple(
-            jnp.broadcast_to(f[:, None], (n, d)).reshape(-1)
+            jnp.broadcast_to(f[None, :], (d, n)).reshape(-1)
             for f in field_cols
         )
         tier_a_width = d
