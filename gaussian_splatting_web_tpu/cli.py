@@ -218,8 +218,13 @@ def cmd_serve(args):
     from .viewer.server import serve
 
     cloud = _load(args)
+    # ?model=<name> scene switching resolves .ply files next to the
+    # launch scene (the reference's URL-parameter loading, index.ts:89-95)
+    scene_dir = os.path.dirname(os.path.abspath(args.ply)) if args.ply \
+        else None
     serve(cloud, host=args.host, port=args.port,
-          width=args.width, height=args.height, config=_config(args))
+          width=args.width, height=args.height, config=_config(args),
+          scene_dir=scene_dir)
 
 
 def main(argv=None):

@@ -124,12 +124,25 @@ class RenderConfig:
     # Same trick for the backward fold: pair gradients sort back to dense
     # slot order bf16-packed (5 u32 payloads instead of 9 f32). Error is
     # ~0.2% of each pair gradient, zero-mean; the parity gate measures
-    # scale-relative error which stays well under the 1% gate.
+    # scale-relative error which stays well under the 1% gate. NOTE: this
+    # rounds the mean2d GRADIENT rows too (the mean2d VALUES stay f32 in
+    # the forward payloads); if training quality ever regresses on
+    # subpixel-splat scenes, set pack_grads=False or move the mean2d grad
+    # rows to an f32 payload pair (ADVICE r2 item 4).
     pack_grads: bool = True
 
     # --- kernel selection -------------------------------------------------
     # 'auto': fused Pallas compositor on TPU, portable XLA path elsewhere.
     use_pallas: str = "auto"  # 'auto' | 'always' | 'never'
+
+    # --- debugging --------------------------------------------------------
+    # ≥0: render that gaussian id highlighted magenta at ≥0.9 alpha — the
+    # reference's "selected splat" debug path (negative-opacity marker →
+    # magenta fragment, simple_render.ts:171,181-190), re-keyed by id since
+    # parameters are optimizer state here, not a hand-editable buffer.
+    # Forces the portable XLA compositor (the fused kernel doesn't carry
+    # per-pair gaussian ids). A densify-debugging tool, not a hot path.
+    debug_selected: int = -1
 
     def grid_size(self, width: int, height: int) -> Tuple[int, int]:
         """Number of tiles in (x, y)."""

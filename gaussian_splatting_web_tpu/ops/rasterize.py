@@ -158,6 +158,21 @@ def _composite_chunk(
     rgb = slab[..., 5:8]
     opac = slab[..., 8]
 
+    if config.debug_selected >= 0 and bins.sorted_gidx is not None:
+        # "selected splat" highlight (simple_render.ts:171,181-190): the
+        # chosen gaussian composites magenta at ≥0.9 alpha so its actual
+        # screen footprint is visible through the normal blend stack
+        gidx_p = jnp.concatenate(
+            [bins.sorted_gidx,
+             jnp.full((k_cap,), -1, bins.sorted_gidx.dtype)])
+        gid_slab = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(gidx_p, (s,), (k_cap,))
+        )(start)                                             # [C, K]
+        sel = gid_slab == config.debug_selected
+        rgb = jnp.where(sel[..., None],
+                        jnp.asarray([1.0, 0.0, 1.0], rgb.dtype), rgb)
+        opac = jnp.where(sel, jnp.maximum(opac, 0.9), opac)
+
     # TILE-LOCAL pixel coordinates, falloff as the SAME rank-6 bilinear
     # form the fused Pallas kernel evaluates (power is quadratic in the
     # pixel coords: power = Σ_b u_b(px,py)·v_b(splat); raster.py
@@ -345,9 +360,9 @@ def render_impl(
         cloud = cloud.with_storage_dtype(config.dtype)
     splats = project_gaussians(cloud, camera, width, height, config)
 
-    if config.use_pallas == "always" or (
+    if config.debug_selected < 0 and (config.use_pallas == "always" or (
         config.use_pallas == "auto" and jax.default_backend() == "tpu"
-    ):
+    )):
         # bin_splats runs inside rasterize_pallas's custom-VJP boundary so
         # the splat fields can ride the binning sort as payloads (no pair
         # gather) without XLA AD transposing the sort.

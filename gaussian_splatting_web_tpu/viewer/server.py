@@ -50,8 +50,14 @@ _PAGE = """<!DOCTYPE html>
  li { cursor:pointer; padding:2px; } li:hover { color:#fff; }
  #fps { color:#8f8; }
  input[type=file] { width:100%; font-size:11px; margin:2px 0; }
+ #popup { position:fixed; inset:0; background:rgba(0,0,0,.7); display:none;
+   align-items:center; justify-content:center; flex-direction:column; }
+ #bar { width:260px; height:10px; background:#333; margin-top:8px; }
+ #barfill { height:100%; width:0; background:#8f8; }
 </style></head>
 <body>
+<div id="popup"><div>Loading .ply, this may take from seconds to a couple
+ of minutes…</div><div id="bar"><div id="barfill"></div></div></div>
 <div id="side">
  <h3>tpu splat viewer</h3>
  <div id="fps">fps: –</div>
@@ -143,10 +149,22 @@ function refreshInfo(info){
     ul.appendChild(li);
   });
 }
+// scene upload with a loading popup + progress bar (the reference's
+// fetchWithProgress + loading popup, index.ts:55-84 / index.html)
 document.getElementById('plyPick').addEventListener('change', async e=>{
   const f=e.target.files[0]; if(!f) return;
-  const r=await fetch('/scene',{method:'POST', body:await f.arrayBuffer()});
-  refreshInfo(await r.json()); send({kind:'init'});
+  const popup=document.getElementById('popup'),
+        fill=document.getElementById('barfill');
+  popup.style.display='flex'; fill.style.width='0';
+  const xhr=new XMLHttpRequest();
+  xhr.open('POST','/scene');
+  xhr.upload.onprogress=ev=>{
+    if(ev.lengthComputable) fill.style.width=(ev.loaded/ev.total*100)+'%';
+  };
+  xhr.onload=()=>{ popup.style.display='none';
+    refreshInfo(JSON.parse(xhr.responseText)); send({kind:'init'}); };
+  xhr.onerror=()=>{ popup.style.display='none'; };
+  xhr.send(await f.arrayBuffer());
 });
 document.getElementById('camPick').addEventListener('change', async e=>{
   const f=e.target.files[0]; if(!f) return;
@@ -223,6 +241,25 @@ class ViewerApp:
             self._set_cameras(json_text)
         return self.info()
 
+    def load_scene_model(self, scene_dir: str, name: str) -> dict:
+        """URL-parameter scene selection (the reference's `?model=` →
+        fetch `<name>.ply`, index.ts:89-95): load `<scene_dir>/<name>.ply`.
+        `name` is sanitized to a basename — no path traversal."""
+        import os
+
+        from ..io.ply import read_ply
+
+        base = os.path.basename(name)
+        if not base.endswith(".ply"):
+            base += ".ply"
+        path = os.path.join(scene_dir, base)
+        if not os.path.isfile(path):
+            raise FileNotFoundError(base)
+        cloud = read_ply(path)
+        with self.lock:
+            self._set_cloud(cloud)
+        return self.info()
+
     def _frame(self) -> np.ndarray:
         """Render the current camera → RGBA uint8-ready float array with the
         post-process alpha shaping applied (post_process_render.ts:63-76).
@@ -294,7 +331,8 @@ class ViewerApp:
 
 def serve(cloud: GaussianCloud, host="127.0.0.1", port=8090,
           width=1280, height=720, config: RenderConfig = RenderConfig(),
-          cameras_json: Optional[str] = None, block: bool = True):
+          cameras_json: Optional[str] = None, block: bool = True,
+          scene_dir: Optional[str] = None):
     app = ViewerApp(cloud, width, height, config, cameras_json)
 
     class Handler(BaseHTTPRequestHandler):
@@ -320,7 +358,22 @@ def serve(cloud: GaussianCloud, host="127.0.0.1", port=8090,
             return self.rfile.read(n)
 
         def do_GET(self):
-            if self.path == "/" or self.path.startswith("/index"):
+            from urllib.parse import parse_qs, urlparse
+
+            url = urlparse(self.path)
+            if url.path == "/" or url.path.startswith("/index"):
+                # `?model=<name>` scene selection (index.ts:89-95): load
+                # <scene_dir>/<name>.ply before serving the page
+                q = parse_qs(url.query)
+                model = (q.get("model") or [None])[0]
+                if model and scene_dir:
+                    try:
+                        app.load_scene_model(scene_dir, model)
+                        app.handle_event({"kind": "init"})
+                    except FileNotFoundError as e:
+                        self._send(404, f"model not found: {e}".encode(),
+                                   "text/plain")
+                        return
                 self._send(200, _PAGE.encode(), "text/html")
             elif self.path.startswith("/info"):
                 self._send(200, json.dumps(app.info()).encode(),

@@ -173,3 +173,23 @@ def test_bfloat16_storage_close_to_f32():
     # policy inside render_impl (VERDICT r2 item 9)
     img_cfg, _ = render(cloud, camera, w, h, CFG.replace(dtype="bfloat16"))
     np.testing.assert_array_equal(np.asarray(img_cfg), np.asarray(img_bf))
+
+
+def test_debug_selected_splat_highlight():
+    """config.debug_selected: the chosen gaussian renders magenta at ≥0.9
+    alpha through the normal blend stack (the reference's negative-opacity
+    "selected" path, simple_render.ts:171,181-190), other pixels
+    unchanged."""
+    cloud = make_random_cloud(12, seed=6, sh_degree=0)
+    w = h = 64
+    camera = _orbit(w, h)
+    img0, _ = render(cloud, camera, w, h, CFG)
+    imgd, _ = render(cloud, camera, w, h, CFG.replace(debug_selected=3))
+    d = np.abs(np.asarray(imgd) - np.asarray(img0))
+    changed = d.max(axis=-1) > 1e-3
+    assert changed.any()                       # the splat is visible
+    # changed pixels lean magenta: green differs from red/blue
+    ch = np.asarray(imgd)[changed]
+    assert float(np.mean(ch[:, 0] + ch[:, 2] - 2 * ch[:, 1])) > 0.1
+    # a far-away region is untouched
+    assert not changed.all()

@@ -188,7 +188,7 @@ def _png_size(png: bytes):
     return struct.unpack(">II", png[16:24])
 
 
-def _start_viewer(n=8, width=32, height=32):
+def _start_viewer(n=8, width=32, height=32, scene_dir=None):
     import urllib.request
 
     from gaussian_splatting_web_tpu.config import RenderConfig
@@ -197,7 +197,8 @@ def _start_viewer(n=8, width=32, height=32):
     cloud = make_random_cloud(n, seed=0)
     cfg = RenderConfig(max_dup=16, max_per_tile=16, tile_chunk=2)
     httpd, app = serve(cloud, host="127.0.0.1", port=0, width=width,
-                       height=height, config=cfg, block=False)
+                       height=height, config=cfg, block=False,
+                       scene_dir=scene_dir)
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
     base = f"http://127.0.0.1:{httpd.server_address[1]}"
@@ -301,6 +302,36 @@ def test_viewer_scene_and_cameras_hot_swap(tmp_path):
         assert info["cameras"] == ["v0"]
         with event({"kind": "preset", "index": 0}) as r:
             assert r.read()[:8] == b"\x89PNG\r\n\x1a\n"
+    finally:
+        httpd.shutdown()
+
+
+def test_viewer_model_url_param(tmp_path):
+    """GET /?model=<name> loads <scene_dir>/<name>.ply before serving the
+    page (the reference's URL-parameter scene selection, index.ts:89-95),
+    and the page ships the loading popup + progress bar
+    (fetchWithProgress, index.ts:55-84)."""
+    import urllib.error
+    import urllib.request
+
+    from gaussian_splatting_web_tpu.io.ply import write_ply
+
+    write_ply(make_random_cloud(21, seed=4), str(tmp_path / "alt.ply"))
+    httpd, app, base, post, event = _start_viewer(scene_dir=str(tmp_path))
+    try:
+        with urllib.request.urlopen(base + "/?model=alt") as r:
+            page = r.read().decode()
+        assert "popup" in page and "barfill" in page
+        with urllib.request.urlopen(base + "/info") as r:
+            assert json.loads(r.read())["num_gaussians"] == 21
+        # unknown model → 404, scene unchanged
+        try:
+            urllib.request.urlopen(base + "/?model=../etc/passwd")
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+        with urllib.request.urlopen(base + "/info") as r:
+            assert json.loads(r.read())["num_gaussians"] == 21
     finally:
         httpd.shutdown()
 
