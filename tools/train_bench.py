@@ -38,7 +38,8 @@ def main():
     if args.scale:
         args.width, args.height = 416, 312
         args.views = 16
-        args.iters = max(args.iters, 1500)
+        if args.iters == 600:
+            args.iters = 1500
         args.out = "train_bench_scale.json"
 
     if args.cpu:
