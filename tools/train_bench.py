@@ -59,7 +59,29 @@ def main():
         TrainLoopConfig, train,
     )
     from gaussian_splatting_web_tpu.utils.metrics import enable_compile_cache
-    from tests.conftest import make_random_cloud
+
+    # NOTE: do NOT import tests.conftest here — it force-switches the jax
+    # platform to CPU at import time (that silently put every earlier
+    # train bench on CPU; the r2 artifact's 128 ms/it was CPU compute,
+    # not TPU). Reproduce its scene generator inline instead.
+    def make_random_cloud(n, seed=0, sh_degree=0, spread=1.0):
+        import numpy as _np
+
+        from gaussian_splatting_web_tpu.core.types import GaussianCloud
+
+        rng = _np.random.default_rng(seed)
+        k = {0: 1, 1: 4, 2: 9, 3: 16}[sh_degree]
+        q = rng.normal(size=(n, 4)).astype(_np.float32)
+        q /= _np.linalg.norm(q, axis=1, keepdims=True)
+        return GaussianCloud(
+            xyz=(rng.normal(size=(n, 3)) * spread).astype(_np.float32),
+            log_scale=rng.uniform(-3.5, -1.5, size=(n, 3)).astype(
+                _np.float32),
+            quat=q,
+            opacity_logit=rng.uniform(-2.0, 2.0, size=(n,)).astype(
+                _np.float32),
+            sh=rng.normal(scale=0.3, size=(n, k, 3)).astype(_np.float32),
+        )
 
     enable_compile_cache()
     w, h = args.width, args.height
