@@ -12,6 +12,16 @@ from __future__ import annotations
 import dataclasses
 import sys
 
+import jax.numpy as _jnp_go
+
+
+def _grouping_order(bins):
+    # count-sorted grouping order (was a raster.py helper; the library
+    # removed it after measuring no kernel win — kept here so this
+    # harness can still reproduce that measurement)
+    return _jnp_go.argsort(-bins.tile_count).astype(_jnp_go.int32)
+
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -24,7 +34,7 @@ from gaussian_splatting_web_tpu.core import camera as cam
 from gaussian_splatting_web_tpu.ops.projection import project_gaussians
 from gaussian_splatting_web_tpu.ops.sort import bin_splats
 from gaussian_splatting_web_tpu.ops.pallas.raster import (
-    KC, _grouping_order, _sorted_fields_t, composite_tiles_pallas, k_cap_for,
+    KC, _sorted_fields_t, composite_tiles_pallas, k_cap_for,
 )
 from gaussian_splatting_web_tpu.ops.rasterize import assemble_image
 from gaussian_splatting_web_tpu.utils.metrics import (
