@@ -115,17 +115,18 @@ def _dot_general_bf16x3(x, y, dims):
     return dg(hx, hy) + dg(hx, ly) + dg(lx, hy)
 
 
-R_TILES = 4       # pixel tiles composited per grid step. At 1080p there are
+R_TILES = 8       # pixel tiles composited per grid step. At 1080p there are
                   # 8160 tiles but the mean tile has ~1 slab chunk, so the
                   # kernel is dominated by per-grid-step fixed cost
                   # (prologue, exposed first-chunk DMA latency); batching R
                   # adjacent tiles amortizes it and stacks their pixel rows
                   # into one [R·P, KC] cumsum matmul. Adjacent tiles have
                   # correlated slab lengths, bounding the masked overwork.
-                  # Round-3 v5e sweep with the fin-output kernel
-                  # (/tmp rsweep over composite_tiles_pallas): r=4 24.7 ms,
-                  # r=8 25.6, r≥16 fails to compile (VMEM). The backward
-                  # uses its own smaller R (raster_bwd.R_TILES_BWD).
+                  # v5e sweep at the 1M/1080p bench (tools/kexp2.py,
+                  # profile_r_tiles.py): r=1 34.5 ms, r=2 26.6, r=4 25.7,
+                  # r=8 23.1. The backward uses its own smaller R
+                  # (raster_bwd.R_TILES_BWD): its live temporaries at r=8
+                  # exceed the 16 MB scoped-VMEM budget.
 
 
 EARLY_EXIT = True  # transmittance early-exit (while_loop) vs fixed-trip
