@@ -135,6 +135,29 @@ class RenderConfig:
     # 'auto': fused Pallas compositor on TPU, portable XLA path elsewhere.
     use_pallas: str = "auto"  # 'auto' | 'always' | 'never'
 
+    # --- fused-kernel grid shape (static fields so tools sweep them per
+    # call instead of editing module globals — VERDICT r3 item 9) ----------
+    r_tiles: int = 8         # forward kernel: pixel tiles composited per
+                             # grid step. At 1080p the mean tile has ~1 slab
+                             # chunk, so per-grid-step fixed cost dominates a
+                             # 1-tile grid; batching amortizes it and stacks
+                             # the group's pixel rows into one [R·P, KC]
+                             # cumsum matmul. v5e sweep at the 1M/1080p
+                             # bench (tools/profile_r_tiles.py): r=1 34.5 ms,
+                             # r=2 26.6, r=4 25.7, r=8 23.1.
+    r_tiles_bwd: int = 1     # backward kernel tiles per grid step: the
+                             # per-tile DMA waits and stores scale with R so
+                             # grouping does not amortize (tools/kexp3.py:
+                             # r=1 39.7 ms, r=2 41.2, r=4 45.0), and r=1
+                             # keeps the pair-gradient array at one F_PAD
+                             # row group (minimal fold traffic).
+    early_exit: bool = True  # transmittance early-exit (while_loop) vs
+                             # fixed-trip fori_loop in the chunk walk; the
+                             # max(carry) reduce costs a vector→scalar sync
+                             # per chunk but pays for itself on saturating
+                             # tiles (tools/kexp3.py: equal ±0.2 ms at the
+                             # bench, wins on opaque scenes)
+
     # --- debugging --------------------------------------------------------
     # ≥0: render that gaussian id highlighted magenta at ≥0.9 alpha — the
     # reference's "selected splat" debug path (negative-opacity marker →

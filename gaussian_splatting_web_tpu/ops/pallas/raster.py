@@ -115,22 +115,9 @@ def _dot_general_bf16x3(x, y, dims):
     return dg(hx, hy) + dg(hx, ly) + dg(lx, hy)
 
 
-R_TILES = 8       # pixel tiles composited per grid step. At 1080p there are
-                  # 8160 tiles but the mean tile has ~1 slab chunk, so the
-                  # kernel is dominated by per-grid-step fixed cost
-                  # (prologue, exposed first-chunk DMA latency); batching R
-                  # adjacent tiles amortizes it and stacks their pixel rows
-                  # into one [R·P, KC] cumsum matmul. Adjacent tiles have
-                  # correlated slab lengths, bounding the masked overwork.
-                  # v5e sweep at the 1M/1080p bench (tools/kexp2.py,
-                  # profile_r_tiles.py): r=1 34.5 ms, r=2 26.6, r=4 25.7,
-                  # r=8 23.1. The backward uses its own smaller R
-                  # (raster_bwd.R_TILES_BWD): its live temporaries at r=8
-                  # exceed the 16 MB scoped-VMEM budget.
-
-
-EARLY_EXIT = True  # transmittance early-exit (while_loop) vs fixed-trip
-                   # fori_loop in the chunk walk; toggled by tools/kexp3.py
+# The kernel grid shape knobs (tiles per grid step, early exit) live in
+# RenderConfig (config.r_tiles / r_tiles_bwd / early_exit) as static fields
+# so tools sweep them per call instead of editing module globals.
 
 
 def _bitcast_f32(u):
@@ -168,6 +155,7 @@ def _kernel(
     log_eps: float,
     r_tiles: int,
     packed: bool,
+    early_exit: bool,
 ):
     if packed:
         f6_hbm, out_ref, fin_ref, slab6_ref, sem_ref = refs
@@ -369,7 +357,7 @@ def _kernel(
         jnp.zeros((R * p, 1), jnp.float32),
         jnp.zeros((R * p, 4), jnp.float32),
     )
-    if EARLY_EXIT:
+    if early_exit:
         def chunk_cond(state):
             c, carry, *_ = state
             # the max(carry) reduce costs a vector→scalar sync per chunk;
@@ -482,7 +470,7 @@ def composite_tiles_pallas(
     # R tiles per grid step; pad the tile list with the sentinel id
     # num_tiles, whose start/count lookup row is 0 (empty segment) — padding
     # rows compute nothing and are sliced away below
-    r = min(r_tiles or R_TILES, grid_n)
+    r = min(r_tiles or config.r_tiles, grid_n)
     n_groups = -(-grid_n // r)
     pad = n_groups * r - grid_n
     tiles_padded = jnp.concatenate(
@@ -506,6 +494,7 @@ def composite_tiles_pallas(
         log_eps=float(math.log(config.transmittance_eps)),
         r_tiles=r,
         packed=packed,
+        early_exit=config.early_exit,
     )
     if packed:
         scratch = [

@@ -55,13 +55,9 @@ from .raster import (
     _dot_general_bf16x3, _unpack_hi, _unpack_lo,
 )
 
-R_TILES_BWD = 1   # tiles per backward grid step. Even with the round-3
-                  # pure-store design (no RMW chain), grouping buys nothing:
-                  # v5e sweep at the 1M/1080p bench r=1 39.7 ms, r=2 41.2,
-                  # r=4 45.0 (tools/kexp3.py) — the per-tile DMA waits and
-                  # stores scale with R, so the fixed cost doesn't amortize,
-                  # and r=1 keeps the pair-gradient array at one F_PAD row
-                  # group (minimal fold traffic).
+# Tiles per backward grid step now lives in RenderConfig.r_tiles_bwd (a
+# static field so tools sweep it per call; see the config for the v5e
+# sweep that pinned the default at 1).
 
 
 def _bwd_kernel(
@@ -463,7 +459,7 @@ def backward_pair_grads(
     k_cap = max(KC, ((config.max_per_tile + KC - 1) // KC) * KC)
     m_pad = fields_t[0].shape[1]
 
-    r = min(r_tiles or R_TILES_BWD, grid_n)
+    r = min(r_tiles or config.r_tiles_bwd, grid_n)
     n_groups = -(-grid_n // r)
     pad = n_groups * r - grid_n
     tiles_padded = jnp.concatenate(

@@ -60,17 +60,15 @@ def main():
 
     # ---- forward kernel: early-exit while vs fixed fori -------------------
     for ee in (True, False):
-        raster.EARLY_EXIT = ee
+        cfg_ee = config.replace(early_exit=ee)
 
-        def fwd(c):
+        def fwd(c, cfg_ee=cfg_ee):
             tiles, fin, _ = composite_tiles_pallas(
-                splats, bins, W, H, config, fields_t=pert_fields(c))
+                splats, bins, W, H, cfg_ee, fields_t=pert_fields(c))
             return (jnp.sum(tiles) + jnp.sum(fin[..., 0])) * 1e-30 + c * 1e-30
 
         t = time_fn_device(fwd, iters=6)
-        log(f"fwd kernel EARLY_EXIT={ee}: {t*1e3:8.2f} ms")
-
-    raster.EARLY_EXIT = True
+        log(f"fwd kernel early_exit={ee}: {t*1e3:8.2f} ms")
 
     # ---- backward kernel: R_TILES_BWD sweep ------------------------------
     tiles, fin, _ = jax.jit(
