@@ -335,12 +335,16 @@ def run(
             # evaluations; tools/parity_diag.py shows it survives
             # pack_grads=False) — bounded in count, so the gate bounds
             # p99 AND the >1% outlier COUNT.
-            ok = g["grad_p99"] <= 1e-3 and g["grad_nbig"] <= 64
+            # outlier bound as a FRACTION of gradient entries (ADVICE r3:
+            # an absolute count is only meaningful at one bench scale)
+            frac_big = g["grad_nbig"] / max(g["grad_n"], 1)
+            ok = g["grad_p99"] <= 1e-3 and frac_big <= 1e-5
             _log(f"grad parity (pallas vs xla, same device): "
                  f"p50={g['grad_p50']:.2e} p99={g['grad_p99']:.2e} "
                  f"max={g['grad_max']:.2e} n>1%={g['grad_nbig']}"
                  f"/{g['grad_n']} loss_rel={g['loss_rel']:.2e} "
-                 f"gate(p99<=1e-3, n>1%<=64): {'PASS' if ok else 'FAIL'}")
+                 f"gate(p99<=1e-3, frac>1%<=1e-5): "
+                 f"{'PASS' if ok else 'FAIL'}")
             result.update({f"parity_{k}": round(v, 8) for k, v in g.items()})
             result["parity_gate_ok"] = bool(ok)
         except Exception as e:  # pragma: no cover — don't lose the perf

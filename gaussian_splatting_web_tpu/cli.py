@@ -158,6 +158,18 @@ def cmd_train(args):
         xyz = rng.uniform(lo, hi, size=(20_000, 3)).astype(np.float32)
         model = GaussianModel.from_points(xyz, sh_degree=3)
 
+    if getattr(args, "fresh", False) and args.checkpoint:
+        # discard an existing loop state so the run starts from scratch
+        # (without --fresh, a re-run with the same dir resumes from it)
+        import shutil
+
+        from .train.checkpoint import has_checkpoint
+
+        if has_checkpoint(args.checkpoint):
+            shutil.rmtree(args.checkpoint)
+            print(f"--fresh: removed existing loop state in "
+                  f"{args.checkpoint}", file=sys.stderr)
+
     def run_once(ckpt_dir):
         return train(
             model, views, args.width, args.height,
@@ -270,11 +282,18 @@ def main(argv=None):
     sp.add_argument("--out", default="trained.ply")
     sp.add_argument("--iterations", type=int, default=7000)
     sp.add_argument("--limit", type=int, default=0, help="max training views")
-    sp.add_argument("--checkpoint", help="orbax checkpoint dir to save into"
-                    " (and resume from, when it holds a loop state)")
+    sp.add_argument("--checkpoint", help="orbax checkpoint dir: the LOOP "
+                    "state (params+opt+iteration) is saved here every "
+                    "--checkpoint-every iterations and resumed from when "
+                    "present; the final TrainState is written to "
+                    "'<dir>-final'")
     sp.add_argument("--checkpoint-every", type=int, default=500,
                     dest="checkpoint_every",
                     help="save the loop state every N iterations")
+    sp.add_argument("--fresh", action="store_true",
+                    help="ignore an existing loop state in --checkpoint "
+                    "and start training from scratch (by default a "
+                    "re-run with the same dir silently resumes)")
     sp.add_argument("--multihost", action="store_true",
                     help="initialize jax.distributed before training "
                     "(no-op without a coordinator — single-process safe)")

@@ -92,6 +92,15 @@ def run_with_restarts(
             return train_fn(checkpoint_dir)
         except KeyboardInterrupt:
             raise
+        except (ValueError, TypeError, KeyError, AttributeError):
+            # Deterministic programming/config errors — e.g. a checkpoint
+            # restored against a different model size or an incompatible
+            # tree template — fail identically on every attempt; retrying
+            # them only burns max_restarts × growing backoff before the
+            # real error surfaces (ADVICE r3). Transient pod failures
+            # (preemption, collective timeouts, RPC flaps) surface as
+            # backend RuntimeError/XlaRuntimeError subclasses instead.
+            raise
         except Exception as e:  # noqa: BLE001 — retry any backend failure
             attempt += 1
             if attempt > max_restarts:

@@ -152,6 +152,16 @@ def make_densify_train_step(
             g_params, state.opt_state, state.params
         )
         params = optax.apply_updates(state.params, updates)
+        # Densification pressure in INRIA's units: their backward emits
+        # view-space gradients scaled by (0.5·W, 0.5·H)
+        # (diff-gaussian-rasterization backward.cu ddelx_dx/ddely_dy), so
+        # the canonical grad_threshold=2e-4 is calibrated for
+        # half-viewport coordinates. Our mean2d is in PIXELS — its raw
+        # gradient is ~(W/2)× smaller, which at real resolutions left the
+        # threshold unreachable and densification dormant (the round-3
+        # train-at-scale underfit: 2000→2282 splats in 3000 iters).
+        g_vs = g_vs * jnp.asarray([width * 0.5, height * 0.5],
+                                  jnp.float32)
         dstate = accumulate_stats(dstate, g_vs, visible)
         return (
             TrainState(params=params, opt_state=opt_state,

@@ -374,6 +374,17 @@ def serve(cloud: GaussianCloud, host="127.0.0.1", port=8090,
                         self._send(404, f"model not found: {e}".encode(),
                                    "text/plain")
                         return
+                    except Exception as e:  # noqa: BLE001 — a corrupt or
+                        # unparseable .ply must yield an error response,
+                        # not a connection reset mid-handler (and must not
+                        # leave the previous scene half-replaced — the app
+                        # swaps its scene only after a successful parse)
+                        self._send(
+                            400,
+                            f"failed to load model {model!r}: "
+                            f"{type(e).__name__}: {e}".encode(),
+                            "text/plain")
+                        return
                 self._send(200, _PAGE.encode(), "text/html")
             elif self.path.startswith("/info"):
                 self._send(200, json.dumps(app.info()).encode(),

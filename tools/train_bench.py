@@ -123,9 +123,10 @@ def main():
         densify_from=100, densify_until=args.iters - 100, densify_every=100,
         opacity_reset_every=10_000, sh_upgrade_every=200,
         capacity_factor=4.0, log_every=50,
-        # the scale scene plateaus without splitting: densify on a lower
-        # view-space gradient threshold than the INRIA default
-        grad_threshold=1.2e-4 if args.scale else 2e-4,
+        # view-space gradients are accumulated in INRIA's half-viewport
+        # units (train_loop scales by W/2, H/2), so the canonical INRIA
+        # threshold applies directly at every resolution
+        grad_threshold=2e-4,
     )
 
     # run the full loop; the loss curve is recorded during training and
