@@ -80,6 +80,61 @@ def cmd_render(args):
     config = _config(args)
     w, h = args.width, args.height
 
+    sharded_mode = getattr(args, "gaussian_sharded", None)
+    if sharded_mode:
+        # gaussian-sharded rendering over all local devices: params shard
+        # N/S, a ppermute ring walks projected splats around tile owners
+        # ('banded' adds per-hop band compaction → O(N·d/S) binning)
+        import dataclasses as _dc
+
+        import jax
+
+        from .parallel.gaussian_sharded import (
+            render_gaussian_sharded, render_gaussian_sharded_banded,
+        )
+        from .parallel.mesh import make_mesh
+
+        devices = jax.devices()
+        if len(devices) < 2:
+            print("--gaussian-sharded: only one device visible; "
+                  "rendering on a 1-device mesh (no sharding win)",
+                  file=sys.stderr)
+        s = len(devices)
+        mesh = make_mesh(devices, tile=s)
+        n = cloud.num_gaussians
+        if n % s:
+            # pad to a multiple of the shard count with dead gaussians
+            # (opacity_logit -100 → sigmoid ≈ 0, never rasterizes)
+            pad = s - n % s
+
+            def _pad(name):
+                a = np.asarray(getattr(cloud, name))
+                fill = -100.0 if name == "opacity_logit" else 0.0
+                tail = np.full((pad,) + a.shape[1:], fill, a.dtype)
+                return np.concatenate([a, tail])
+
+            cloud = _dc.replace(
+                cloud, **{f.name: _pad(f.name) for f in _dc.fields(cloud)})
+
+        def render_fn(cloud, camera, w, h, config):
+            if sharded_mode == "banded":
+                rgb, alpha, _ = render_gaussian_sharded_banded(
+                    cloud, camera, w, h, mesh, config)
+            else:
+                rgb, alpha = render_gaussian_sharded(
+                    cloud, camera, w, h, mesh, config)
+            import jax.numpy as jnp
+
+            bg = jnp.asarray(config.background, dtype=rgb.dtype)
+            img = rgb + (1.0 - alpha[..., None]) * bg
+            zero = jnp.zeros((), jnp.int32)
+            return img, {"alpha": alpha, "num_pairs": zero,
+                         "overflow": zero}
+
+        render_ = render_fn
+    else:
+        render_ = render
+
     if args.cameras:
         cams = load_cameras_json(args.cameras, target_size=(w, h))
         if args.limit:
@@ -95,7 +150,7 @@ def cmd_render(args):
     total_t = 0.0
     for i, (camera, _, name) in enumerate(cams):
         t0 = time.time()
-        img, aux = render(cloud, camera, w, h, config)
+        img, aux = render_(cloud, camera, w, h, config)
         if getattr(args, "post", True):
             # the reference's present pass always shapes alpha
             # (post_process_render.ts:145-166); write RGBA so viewers
@@ -269,6 +324,14 @@ def main(argv=None):
     sp.add_argument("--cameras", help="INRIA cameras.json")
     sp.add_argument("--out", default="renders")
     sp.add_argument("--limit", type=int, default=0)
+    sp.add_argument("--gaussian-sharded", dest="gaussian_sharded",
+                    nargs="?", const="ring", choices=("ring", "banded"),
+                    help="shard the gaussians over all local devices and "
+                    "render via the ppermute ring (parallel."
+                    "gaussian_sharded); '=banded' adds ring-sharded "
+                    "binning (per-hop band compaction, O(N·d/S) per "
+                    "device). Needs >1 device (a multi-device host or a "
+                    "virtual CPU mesh).")
     sp.set_defaults(fn=cmd_render)
 
     sp = sub.add_parser("bench", help="throughput benchmark")

@@ -179,6 +179,77 @@ def banded_cap_hop(n: int, s: int, cand_factor: float) -> int:
     return min(n_s, max(int(cand_factor * n_s / s), 256))
 
 
+def banded_band_tiles(width: int, height: int, s: int,
+                      config: RenderConfig) -> Tuple[jnp.ndarray, int, int]:
+    """Contiguous row-band tile ownership → (band_tiles [S·per_pad] i32,
+    per_band, per_pad). Band b owns tiles [b·per_band, (b+1)·per_band);
+    each band's list is padded to a tile_chunk multiple with repeated ids
+    (their duplicate tiles are sliced off before assembly)."""
+    gx, gy = config.grid_size(width, height)
+    num_tiles = gx * gy
+    rows_per = banded_tile_rows(gy, s)
+    per_band = rows_per * gx
+    chunk = min(config.tile_chunk, per_band)
+    per_pad = -(-per_band // chunk) * chunk
+    band_tiles = jnp.minimum(
+        jnp.arange(s * per_pad, dtype=jnp.int32).reshape(s, per_pad)
+        % per_pad + (jnp.arange(s, dtype=jnp.int32) * per_band)[:, None],
+        num_tiles - 1,
+    ).reshape(-1)
+    return band_tiles, per_band, per_pad
+
+
+def banded_candidates(splats_shard, width: int, height: int, s: int,
+                      rows_per: int, cap_hop: int,
+                      config: RenderConfig):
+    """Ring-sharded candidate selection (runs INSIDE shard_map, on the
+    'tile' axis): walk every shard's packed projected-splat rows around
+    the ppermute ring; per hop keep only splats whose footprint tile-row
+    range intersects this device's contiguous band of `rows_per` tile
+    rows, compacted to `cap_hop` rows by a stable (class, iota) sort.
+
+    Returns (local_splats [S·cap_hop], overflow) — the candidate set this
+    device bins/composites, O(N·d/S) instead of O(N·d). Differentiable:
+    the hop scan is a ppermute ring whose transpose runs the cotangents
+    backward around the ring, and the compaction gather's transpose is a
+    scatter-add back into the originating block."""
+    from ..ops.sort import _footprints
+
+    packed = _pack_splat_rows(splats_shard)        # [n_s, 16]
+    # footprint tile-row range of each owned splat (same rect the binning
+    # uses → the band test is conservative-exact)
+    x0, y0, rw, rh = _footprints(splats_shard, width, height, config)
+    prows = packed.at[:, 12].set(y0.astype(jnp.float32))
+    prows = prows.at[:, 13].set((y0 + rh).astype(jnp.float32))
+
+    my = jax.lax.axis_index(AXES.tile)
+    band_lo = (my * rows_per).astype(jnp.float32)
+    band_hi = band_lo + rows_per
+    perm = [(i, (i + 1) % s) for i in range(s)]
+
+    def hop(blk, _):
+        y0b = blk[:, 12]
+        y1b = blk[:, 13]
+        live = blk[:, 11] > 0.5
+        mask = jnp.logical_and(
+            jnp.logical_and(y1b > band_lo, y0b < band_hi), live)
+        n_hit = jnp.sum(mask.astype(jnp.int32))
+        key = jnp.where(mask, jnp.uint32(0), jnp.uint32(1))
+        _, idx = jax.lax.sort(
+            (key, jnp.arange(blk.shape[0], dtype=jnp.int32)),
+            num_keys=1)
+        idx = idx[:cap_hop]
+        cand = blk[idx]                            # [cap_hop, 16]
+        ok = jnp.arange(cap_hop) < n_hit
+        cand = jnp.where(ok[:, None], cand, 0.0)   # dead rows: valid=0
+        nxt = jax.lax.ppermute(blk, AXES.tile, perm)
+        return nxt, (cand, jnp.maximum(n_hit - cap_hop, 0))
+
+    _, (cands, over) = jax.lax.scan(hop, prows, None, length=s)
+    local_splats = _unpack_splat_rows(cands.reshape(s * cap_hop, 16))
+    return local_splats, jnp.sum(over)
+
+
 def render_gaussian_sharded_banded(
     cloud: GaussianCloud,
     camera: CameraParams,
@@ -216,29 +287,16 @@ def render_gaussian_sharded_banded(
 
     Returns (rgb, alpha, overflow), replicated.
     """
-    from ..ops.sort import _footprints
-
     gx, gy = config.grid_size(width, height)
     num_tiles = gx * gy
     s = mesh.shape[AXES.tile]
     rows_per = banded_tile_rows(gy, s)
-    per_band = rows_per * gx
-    chunk = min(config.tile_chunk, per_band)
-    per_pad = -(-per_band // chunk) * chunk
+    band_tiles, per_band, per_pad = banded_band_tiles(
+        width, height, s, config)
     n = cloud.num_gaussians
-    n_s = n // s
     cap_hop = banded_cap_hop(n, s, cand_factor)
     mesh_platform = mesh.devices.flat[0].platform
     ts = config.tile_size
-
-    # band b tiles are globally contiguous [b·per_band, (b+1)·per_band);
-    # pad each band's list to a chunk multiple with repeated ids (their
-    # duplicate tiles are sliced off before assembly)
-    band_tiles = jnp.minimum(
-        jnp.arange(s * per_pad, dtype=jnp.int32).reshape(s, per_pad)
-        % per_pad + (jnp.arange(s, dtype=jnp.int32) * per_band)[:, None],
-        num_tiles - 1,
-    ).reshape(-1)
 
     @partial(
         shard_map,
@@ -251,45 +309,14 @@ def render_gaussian_sharded_banded(
         splats_shard = project_gaussians(
             cloud_shard, camera, width, height, config
         )
-        packed = _pack_splat_rows(splats_shard)        # [n_s, 16]
-        # footprint tile-row range of each owned splat (same rect the
-        # binning uses → the band test is conservative-exact)
-        x0, y0, rw, rh = _footprints(splats_shard, width, height, config)
-        prows = packed.at[:, 12].set(y0.astype(jnp.float32))
-        prows = prows.at[:, 13].set((y0 + rh).astype(jnp.float32))
-
-        my = jax.lax.axis_index(AXES.tile)
-        band_lo = (my * rows_per).astype(jnp.float32)
-        band_hi = band_lo + rows_per
-        perm = [(i, (i + 1) % s) for i in range(s)]
-
-        def hop(blk, _):
-            y0b = blk[:, 12]
-            y1b = blk[:, 13]
-            live = blk[:, 11] > 0.5
-            mask = jnp.logical_and(
-                jnp.logical_and(y1b > band_lo, y0b < band_hi), live)
-            n_hit = jnp.sum(mask.astype(jnp.int32))
-            key = jnp.where(mask, jnp.uint32(0), jnp.uint32(1))
-            _, idx = jax.lax.sort(
-                (key, jnp.arange(blk.shape[0], dtype=jnp.int32)),
-                num_keys=1)
-            idx = idx[:cap_hop]
-            cand = blk[idx]                            # [cap_hop, 16]
-            ok = jnp.arange(cap_hop) < n_hit
-            cand = jnp.where(ok[:, None], cand, 0.0)   # dead rows: valid=0
-            nxt = jax.lax.ppermute(blk, AXES.tile, perm)
-            return nxt, (cand, jnp.maximum(n_hit - cap_hop, 0))
-
-        _, (cands, over) = jax.lax.scan(hop, prows, None, length=s)
-        local_splats = _unpack_splat_rows(
-            cands.reshape(s * cap_hop, 16))
+        local_splats, over = banded_candidates(
+            splats_shard, width, height, s, rows_per, cap_hop, config)
         tiles = composite_tiles_auto(
             local_splats, my_tiles, width, height, config, gx,
             platform=mesh_platform)
         gathered = jax.lax.all_gather(
             tiles.reshape(per_pad, ts * ts, 4), AXES.tile, tiled=False)
-        overflow = jax.lax.psum(jnp.sum(over), AXES.tile)
+        overflow = jax.lax.psum(over, AXES.tile)
         return gathered, overflow
 
     gathered, overflow = run(cloud, camera, band_tiles)
@@ -308,6 +335,9 @@ def make_gaussian_sharded_train_step(
     config: RenderConfig = RenderConfig(),
     lambda_dssim: float = 0.2,
     active_sh_degree: Optional[int] = None,
+    banded: bool = False,
+    cand_factor: float = 2.5,
+    n_gaussians: Optional[int] = None,
 ):
     """Sharded-parameter training step (BASELINE.md config 5).
 
@@ -317,15 +347,34 @@ def make_gaussian_sharded_train_step(
     memory per device is N/S. Parameter gradients arrive PRE-SHARDED from
     the ring transpose; only the loss and the 'data'-axis mean use
     collectives.
+
+    With `banded=True` (requires `n_gaussians`) the ring is the
+    RING-SHARDED BINNING of render_gaussian_sharded_banded: tile ownership
+    becomes contiguous row bands and each device bins/composites only the
+    ≈cand_factor·N/S splats whose footprints intersect its band
+    (banded_candidates) — so binning, compositor slabs, and activations in
+    the TRAIN step are O(N·d/S) per device, not just parameter memory
+    (VERDICT r3 item 5; the round-3 ring gathered ALL N projected splats).
+    Exactness caveats are those of the banded render (cap overflow
+    truncates; depth ties under depth_bits > 0 may reorder).
     """
     gx, gy = config.grid_size(width, height)
     num_tiles = gx * gy
     n_tile = mesh.shape[AXES.tile]
     n_data = mesh.shape[AXES.data]
-    tile_ids, per = _padded_tile_ids(num_tiles, n_tile, config.tile_chunk)
     ts = config.tile_size
     mesh_platform = mesh.devices.flat[0].platform
     del n_data
+    if banded:
+        if n_gaussians is None:
+            raise ValueError("banded=True requires n_gaussians")
+        rows_per = banded_tile_rows(gy, n_tile)
+        tile_ids, per_band, per = banded_band_tiles(
+            width, height, n_tile, config)
+        cap_hop = banded_cap_hop(n_gaussians, n_tile, cand_factor)
+    else:
+        tile_ids, per = _padded_tile_ids(num_tiles, n_tile,
+                                         config.tile_chunk)
 
     def local_loss(params_shard: GaussianModel, cameras, targets, my_tiles):
         cloud_shard = params_shard.to_cloud(active_sh_degree)
@@ -334,14 +383,28 @@ def make_gaussian_sharded_train_step(
             splats_shard = project_gaussians(
                 cloud_shard, camera, width, height, config
             )
-            splats = ring_all_gather(splats_shard, AXES.tile, n_tile)
+            if banded:
+                splats, _over = banded_candidates(
+                    splats_shard, width, height, n_tile, rows_per,
+                    cap_hop, config)
+            else:
+                splats = ring_all_gather(splats_shard, AXES.tile, n_tile)
             local = composite_tiles_auto(
                 splats, my_tiles, width, height, config, gx,
                 platform=mesh_platform)
             gathered = jax.lax.all_gather(local, AXES.tile, tiled=True)
-            dealt = gathered.reshape(n_tile, per, ts, ts, 4)
-            row_major = dealt.transpose(1, 0, 2, 3, 4).reshape(-1, ts, ts, 4)
-            out = assemble_image(row_major, width, height, gx, gy)
+            if banded:
+                # contiguous bands: band b's real tiles are already in
+                # global row-major order
+                row_major = gathered.reshape(
+                    n_tile, per, ts, ts, 4)[:, :per_band].reshape(
+                    -1, ts, ts, 4)
+            else:
+                dealt = gathered.reshape(n_tile, per, ts, ts, 4)
+                row_major = dealt.transpose(1, 0, 2, 3, 4).reshape(
+                    -1, ts, ts, 4)
+            out = assemble_image(row_major[:num_tiles], width, height,
+                                 gx, gy)
             bg = jnp.asarray(config.background, dtype=out.dtype)
             img = out[..., :3] + (1.0 - out[..., 3:4]) * bg
             return photometric_loss(img, target, lambda_dssim)

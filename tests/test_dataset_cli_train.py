@@ -121,3 +121,43 @@ def test_cli_eval(tmp_path, capsys):
     assert out["views"] == 2
     assert out["psnr_mean"] > 35, out
     assert out["ssim_mean"] > 0.95, out
+
+
+def test_cli_render_gaussian_sharded_banded(tmp_path, capsys):
+    """`cli render --gaussian-sharded banded` (VERDICT r3 item 10): the
+    banded ring-sharded render must be reachable from the shipped CLI and
+    match the single-device render."""
+    import jax
+
+    from gaussian_splatting_web_tpu.cli import main
+
+    if len(jax.devices()) < 2:
+        import pytest
+
+        pytest.skip("needs a multi-device mesh")
+
+    # 17 splats: NOT divisible by the device count — exercises dead-pad
+    cloud = make_random_cloud(17, seed=6, sh_degree=0)
+    ply = tmp_path / "scene.ply"
+    write_ply(cloud, str(ply))
+    out = tmp_path / "renders"
+    args = [
+        "render", "--ply", str(ply), "--out", str(out),
+        "--width", str(W), "--height", str(H), "--no-post",
+        "--max-dup", "16", "--max-per-tile", "32", "--tile-chunk", "2",
+        "--depth-bits", "0",
+    ]
+    main(args + ["--gaussian-sharded", "banded"])
+    png = list(out.iterdir())
+    assert len(png) == 1
+
+    out2 = tmp_path / "renders_single"
+    main(args[:4] + [str(out2)] + args[5:])
+    import imageio.v2 as iio  # noqa: F401 — only if available
+
+    a = np.asarray(__import__("PIL.Image", fromlist=["Image"])
+                   .open(png[0]))
+    b = np.asarray(__import__("PIL.Image", fromlist=["Image"])
+                   .open(list(out2.iterdir())[0]))
+    np.testing.assert_allclose(a.astype(np.float32), b.astype(np.float32),
+                               atol=2.0)

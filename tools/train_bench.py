@@ -34,6 +34,8 @@ def main():
                     help="the VERDICT r2 item-7 configuration: 416x312, "
                     "SH degree 3, 16 views, thousands of gaussians, "
                     "densify active, jitted-step ms/it measured on device")
+    ap.add_argument("--capacity", type=float, default=4.0,
+                    help="arena capacity as a multiple of the initial N")
     args = ap.parse_args()
     if args.scale:
         args.width, args.height = 416, 312
@@ -106,7 +108,12 @@ def main():
 
     views = []
     for i in range(args.views):
-        camera = camera_at(i * 2 * np.pi / args.views)
+        # varied elevations (like a real capture's hemisphere walk): a
+        # single-elevation orbit under-constrains depth — splats can slide
+        # along view rays without photometric penalty, capping PSNR for
+        # every camera OFF that ring (the held-out one included)
+        y_i = 0.4 + 1.2 * np.sin(i * 2.4) if args.scale else 0.4
+        camera = camera_at(i * 2 * np.pi / args.views, y=y_i)
         img, _ = render(target_cloud, camera, w, h, cfg)
         views.append(View(camera=camera, image=np.asarray(img), name=f"v{i}"))
     held_out_cam = camera_at(np.pi / args.views + 0.13, y=0.6)
@@ -122,7 +129,7 @@ def main():
         iterations=args.iters,
         densify_from=100, densify_until=args.iters - 100, densify_every=100,
         opacity_reset_every=10_000, sh_upgrade_every=200,
-        capacity_factor=4.0, log_every=50,
+        capacity_factor=args.capacity, log_every=50,
         # view-space gradients are accumulated in INRIA's half-viewport
         # units (train_loop scales by W/2, H/2), so the canonical INRIA
         # threshold applies directly at every resolution
