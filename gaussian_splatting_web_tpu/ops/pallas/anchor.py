@@ -312,6 +312,558 @@ def bin_splats_anchor(
 
 
 def _c_max(config: RenderConfig) -> int:
-    """Merge-phase load chunks per anchor range (static): enough for
-    max_per_tile candidates plus one chunk of alignment lead."""
-    return config.max_per_tile // KCL + 1
+    """Merge-phase load chunks per anchor range (static). A range holds
+    the tile's candidates PLUS entries that do not touch it (single-
+    column splats of the neighbouring anchor, dup entries of other
+    tiles), so the cover budget is 2× max_per_tile plus an alignment
+    chunk; ranges longer than this drop their tail (deepest entries of
+    the right anchor column — counted in the anchor overflow stat)."""
+    return 2 * (config.max_per_tile // KCL) + 1
+
+
+# ======================================================================
+# Merge-phase + composite kernels
+# ======================================================================
+
+import functools
+import math
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .raster import (
+    KC, _bitcast_f32, _dot_bf16x2, _dot_exact_bf16x3, _dot_general_bf16x3,
+    _unpack_hi, _unpack_lo,
+)
+
+DEAD_BASE = 0x10000000   # packed mode: dead-lane keys DEAD_BASE + lane —
+                         # above any live (d16 << 12 | lane) < 2^28
+
+
+def _split3(v):
+    """f32 → three bf16 components summing EXACTLY to v (the 24 mantissa
+    bits peel into 3×8 under round-to-nearest); a one-hot contraction of
+    each component has exactly one nonzero product per output, so
+    one-hot @ [h; l1; l2] reconstructs v bit-exactly (normal range)."""
+    h = v.astype(jnp.bfloat16)
+    r1 = v - h.astype(jnp.float32)
+    l1 = r1.astype(jnp.bfloat16)
+    l2 = (r1 - l1.astype(jnp.float32)).astype(jnp.bfloat16)
+    return h, l1, l2
+
+
+def _sortable_i32(f):
+    """float32 → int32 with float ordering (monotone), for the exact-mode
+    in-kernel depth compare."""
+    i = jax.lax.bitcast_convert_type(f, jnp.int32)
+    return jnp.where(i < 0, jnp.int32(-2147483648) - 1 - i, i)
+
+
+class _TileScalars:
+    """Range metadata of one tile's candidate union (all SMEM scalars).
+
+    The union has 2·c_max KCL-lane load slots: slots [0, c_max) hold the
+    row-above range A (anchors (ty-1, tx-1..tx)), slots [c_max, 2·c_max)
+    the same-row range B. Each range is a CONTIGUOUS span of the anchor-
+    sorted slab ([s0, s1), boundary sb between the tx-1 and tx segments),
+    loaded as an aligned cover from base."""
+
+    def __init__(self, t, starts_ref, gx, num_tiles, c_max):
+        self.t = t
+        self.tx = t % gx
+        self.ty = t // gx
+        valid_t = t < num_tiles
+
+        def st(i):
+            return starts_ref[jnp.clip(i, 0, num_tiles)]
+
+        jb = self.ty * gx
+        self.sB0 = jnp.where(
+            valid_t, st(jb + jnp.maximum(self.tx - 1, 0)), 0)
+        self.sBb = jnp.where(valid_t, st(jb + self.tx), 0)
+        self.sB1 = jnp.where(valid_t, st(jb + self.tx + 1), 0)
+        has_a = jnp.logical_and(valid_t, self.ty > 0)
+        ja = (self.ty - 1) * gx
+        self.sA0 = jnp.where(has_a, st(ja + jnp.maximum(self.tx - 1, 0)), 0)
+        self.sAb = jnp.where(has_a, st(ja + self.tx), 0)
+        self.sA1 = jnp.where(has_a, st(ja + self.tx + 1), 0)
+        self.baseA = (self.sA0 // KCL) * KCL
+        self.baseB = (self.sB0 // KCL) * KCL
+        nA = jnp.where(self.sA1 > self.sA0,
+                       pl.cdiv(self.sA1 - self.baseA, KCL), 0)
+        self.nchA = jnp.minimum(nA, c_max)
+        nB = jnp.where(self.sB1 > self.sB0,
+                       pl.cdiv(self.sB1 - self.baseB, KCL), 0)
+        self.nchB = jnp.minimum(nB, c_max)
+        self.c_max = c_max
+
+    def slot(self, q):
+        """(base, s0, sb, s1, nch, own_row, chunk_idx) of union slot q."""
+        if q < self.c_max:
+            return (self.baseA, self.sA0, self.sAb, self.sA1, self.nchA,
+                    False, q)
+        return (self.baseB, self.sB0, self.sBb, self.sB1, self.nchB,
+                True, q - self.c_max)
+
+    def chunk_live(self, q):
+        _, _, _, _, nch, _, cq = self.slot(q)
+        return cq < nch
+
+
+def _merge_tile(
+    r, sc: _TileScalars, union_get, ukey_ref, rank_ref, fldb_ref,
+    ordered_ref, slab_dma, *,
+    tile_size, c_max, k_cap, packed,
+):
+    """Load, touch-filter, rank, and one-hot-merge ONE tile's candidate
+    union into ordered_ref[r] (f32 rows 0..8 = mx_local, my_local, ca,
+    cb, cc, op, r, g, b, depth-ordered and compacted; lanes ≥ n_live are
+    garbage and must be masked by the caller). Returns n_live (i32).
+
+    Rank = exact global depth order: packed mode compares unique int
+    keys (d16 << 12 | union_lane — ties impossible); exact mode compares
+    (f32-sortable depth, union_lane) lexicographically. Dead (non-touch)
+    lanes get unique keys above every live key, so they rank past
+    n_live and fall off the ordered buffer or land in masked lanes —
+    one-hot collisions cannot happen."""
+    n_slots = 2 * c_max
+    exact_keys = not packed
+
+    # --- DMA the aligned covers ---------------------------------------
+    for phase in range(2):
+        for q in range(n_slots):
+            base, _, _, _, nch, _, cq = sc.slot(q)
+
+            @pl.when(cq < nch)
+            def _(base=base, cq=cq, q=q, phase=phase):
+                for d in slab_dma(r, q, base + cq * KCL):
+                    d.start() if phase == 0 else d.wait()
+
+    # --- per-lane touch + unique order keys ---------------------------
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, KCL), 1)
+    n_live = jnp.int32(0)
+    for q in range(n_slots):
+        base, s0, sb, s1, nch, own_row, cq = sc.slot(q)
+        sl = slice(q * KCL, (q + 1) * KCL)
+        pos = base + cq * KCL + lane
+        in_rng = jnp.logical_and(
+            jnp.logical_and(pos >= s0, pos < s1), cq < nch)
+        own_col = pos >= sb
+        if packed:
+            key_u = union_get(r, 0, sl)                   # u32
+            d16 = (key_u & jnp.uint32(0xFFFF)).astype(jnp.int32)
+            meta = (union_get(r, 6, sl) & jnp.uint32(0x7)).astype(jnp.int32)
+        else:
+            d16 = _sortable_i32(union_get(r, 9, sl))      # f4 row 1: depth
+            meta = union_get(r, 10, sl).astype(jnp.int32)  # f4 row 2
+        dup = (meta & 4) > 0
+        wide = (meta & 2) > 0
+        tall = (meta & 1) > 0
+        ok_col = jnp.logical_or(own_col, wide)
+        if own_row:
+            anchor_touch = ok_col
+            dup_touch = own_col
+        else:
+            anchor_touch = jnp.logical_and(ok_col, tall)
+            dup_touch = jnp.zeros_like(dup)
+        touch = jnp.logical_and(
+            jnp.where(dup, dup_touch, anchor_touch), in_rng)
+        gidx = q * KCL + lane
+        if exact_keys:
+            ukey = jnp.where(touch, d16, jnp.int32(0x7FFFFFFF))
+        else:
+            ukey = jnp.where(touch, d16 * 4096 + gidx, DEAD_BASE + gidx)
+        ukey_ref[r, 0:1, sl] = ukey
+        n_live = n_live + jnp.sum(touch.astype(jnp.int32))
+
+    # --- rank: blocked compares, VPU column sums ----------------------
+    # (ones-matmul colsums measured 2.5× slower — tools/anchor_micro.py)
+    for ci in range(n_slots):
+        sl_i = slice(ci * KCL, (ci + 1) * KCL)
+
+        def rank_ci(ci=ci, sl_i=sl_i):
+            ki = ukey_ref[r, 0:1, sl_i]                   # [1, KCL]
+            acc = jnp.zeros((1, KCL), jnp.float32)
+            for cj in range(n_slots):
+                sl_j = slice(cj * KCL, (cj + 1) * KCL)
+
+                def blk(cj=cj, sl_j=sl_j, ki=ki, ci=ci):
+                    kj = ukey_ref[r, 0:1, sl_j].reshape(KCL, 1)
+                    less = kj < ki
+                    if exact_keys:
+                        # lexicographic (depth, union lane) tie-break
+                        lj = (jax.lax.broadcasted_iota(
+                            jnp.int32, (KCL, 1), 0) + cj * KCL)
+                        li = (jax.lax.broadcasted_iota(
+                            jnp.int32, (1, KCL), 1) + ci * KCL)
+                        less = jnp.logical_or(
+                            less, jnp.logical_and(kj == ki, lj < li))
+                    return jnp.sum(less.astype(jnp.float32), axis=0,
+                                   keepdims=True)
+
+                acc = acc + jax.lax.cond(
+                    sc.chunk_live(cj), blk,
+                    lambda: jnp.zeros((1, KCL), jnp.float32))
+            return acc
+
+        rank_ref[r, 0:1, sl_i] = jax.lax.cond(
+            sc.chunk_live(ci), rank_ci,
+            lambda: jnp.full((1, KCL), float(n_slots * KCL), jnp.float32))
+
+    # --- bf16 component rows for the exact one-hot permute ------------
+    # source field order: mx_local, my_local, ca, cb, cc, op, r, g, b.
+    # packed mode: mx/my split ×3 (f32), the rest are exact bf16 values
+    # (they rode the sort as bf16 pairs) → 13 rows; exact mode: all nine
+    # split ×3 → 27 rows.
+    ts_f = float(tile_size)
+    tx_px = sc.tx.astype(jnp.float32) * ts_f
+    ty_px = sc.ty.astype(jnp.float32) * ts_f
+    al = slice(None)
+    if packed:
+        fields = (
+            _bitcast_f32(union_get(r, 1, al)) - tx_px,
+            _bitcast_f32(union_get(r, 2, al)) - ty_px,
+            _unpack_hi(union_get(r, 3, al)),
+            _unpack_lo(union_get(r, 3, al)),
+            _unpack_hi(union_get(r, 4, al)),
+            _unpack_lo(union_get(r, 4, al)),
+            _unpack_hi(union_get(r, 5, al)),
+            _unpack_lo(union_get(r, 5, al)),
+            _unpack_hi(union_get(r, 6, al)),
+        )
+        n_split = 2
+    else:
+        fields = (
+            union_get(r, 0, al) - tx_px,
+            union_get(r, 1, al) - ty_px,
+            union_get(r, 2, al),
+            union_get(r, 3, al),
+            union_get(r, 4, al),
+            union_get(r, 8, al),                          # op (f4 row 0)
+            union_get(r, 5, al),
+            union_get(r, 6, al),
+            union_get(r, 7, al),
+        )
+        n_split = 9
+    rows = []
+    for k, f in enumerate(fields):
+        if k < n_split:
+            rows += list(_split3(f))
+        else:
+            rows.append(f.astype(jnp.bfloat16))
+    fb_rows = fldb_ref.shape[1]
+    for k, row in enumerate(rows):
+        fldb_ref[r, k:k + 1, :] = row
+
+    # --- one-hot merge into the ordered buffer ------------------------
+    k_used = jnp.minimum(n_live, k_cap)
+    kio = jax.lax.broadcasted_iota(jnp.int32, (1, KC), 1)
+    n_rows = len(rows)
+    for oc in range(k_cap // KC):
+        def merge_oc(oc=oc):
+            acc = jnp.zeros((fb_rows, KC), jnp.float32)
+            for ci in range(n_slots):
+                sl_i = slice(ci * KCL, (ci + 1) * KCL)
+
+                def blk(ci=ci, sl_i=sl_i, oc=oc):
+                    rcol = rank_ref[r, 0:1, sl_i].reshape(
+                        KCL, 1).astype(jnp.int32)
+                    oh = (rcol == kio + oc * KC).astype(jnp.bfloat16)
+                    return jnp.dot(fldb_ref[r, :, sl_i], oh,
+                                   preferred_element_type=jnp.float32)
+
+                acc = acc + jax.lax.cond(
+                    sc.chunk_live(ci), blk,
+                    lambda: jnp.zeros((fb_rows, KC), jnp.float32))
+            return acc
+
+        acc = jax.lax.cond(
+            oc * KC < k_used, merge_oc,
+            lambda: jnp.zeros((fb_rows, KC), jnp.float32))
+        outs = []
+        for k in range(9):
+            if k < n_split:
+                outs.append(acc[3 * k:3 * k + 1]
+                            + acc[3 * k + 1:3 * k + 2]
+                            + acc[3 * k + 2:3 * k + 3])
+            else:
+                j = 3 * n_split + (k - n_split)
+                outs.append(acc[j:j + 1])
+        out16 = jnp.concatenate(
+            outs + [jnp.zeros((16 - 9, KC), jnp.float32)], axis=0)
+        ordered_ref[r, :, oc * KC:(oc + 1) * KC] = out16
+    del n_rows
+    return n_live, k_used
+
+
+def _fwd_kernel(
+    starts_ref,            # SMEM [T+1] int32 (scalar prefetch)
+    tiles_ref,             # SMEM [G_pad] int32: grid → tile id
+    *refs,
+    gx: int,
+    num_tiles: int,
+    tile_size: int,
+    k_cap: int,
+    c_max: int,
+    alpha_cutoff: float,
+    alpha_max: float,
+    log_eps: float,
+    r_tiles: int,
+    packed: bool,
+    early_exit: bool,
+):
+    """Anchor forward: merge phase per tile (see _merge_tile), then the
+    composite chunk loop ENTIRELY FROM VMEM — no per-chunk DMA, no lead
+    masking (the ordered buffer starts at lane 0), and log(opacity)
+    folded into the power clamp (alpha = min(exp(min(p', log op)), amax)
+    ≡ min(op·exp(min(p, 0)), amax) with one [1, KC] log instead of a
+    [R·P, KC] multiply)."""
+    if packed:
+        (slab_hbm, out_ref, fin_ref, union_ref, ukey_ref, rank_ref,
+         fldb_ref, ordered_ref, sem_ref) = refs
+
+        def union_get(r, k, sl):
+            return union_ref[r, k:k + 1, sl]
+
+        def slab_dma(r, q, off):
+            off = pl.multiple_of(off, KCL)
+            return [pltpu.make_async_copy(
+                slab_hbm.at[:, pl.ds(off, KCL)],
+                union_ref.at[r, :, pl.ds(q * KCL, KCL)],
+                sem_ref.at[r, q, 0],
+            )]
+    else:
+        (f8_hbm, f4_hbm, out_ref, fin_ref, union8_ref, union4_ref,
+         ukey_ref, rank_ref, fldb_ref, ordered_ref, sem_ref) = refs
+
+        def union_get(r, k, sl):
+            if k < 8:
+                return union8_ref[r, k:k + 1, sl]
+            return union4_ref[r, k - 8:k - 7, sl]
+
+        def slab_dma(r, q, off):
+            off = pl.multiple_of(off, KCL)
+            return [
+                pltpu.make_async_copy(
+                    f8_hbm.at[:, pl.ds(off, KCL)],
+                    union8_ref.at[r, :, pl.ds(q * KCL, KCL)],
+                    sem_ref.at[r, q, 0],
+                ),
+                pltpu.make_async_copy(
+                    f4_hbm.at[:, pl.ds(off, KCL)],
+                    union4_ref.at[r, :, pl.ds(q * KCL, KCL)],
+                    sem_ref.at[r, q, 1],
+                ),
+            ]
+
+    p = tile_size * tile_size
+    R = r_tiles
+    g0 = pl.program_id(0) * R
+
+    # --- merge phase per tile ----------------------------------------
+    k_useds = []
+    for r in range(R):
+        sc = _TileScalars(tiles_ref[g0 + r], starts_ref, gx, num_tiles,
+                          c_max)
+        _, k_used = _merge_tile(
+            r, sc, union_get, ukey_ref, rank_ref, fldb_ref, ordered_ref,
+            slab_dma, tile_size=tile_size, c_max=c_max, k_cap=k_cap,
+            packed=packed)
+        k_useds.append(k_used)
+
+    max_chunks = pl.cdiv(k_useds[0], KC)
+    for r in range(1, R):
+        max_chunks = jnp.maximum(max_chunks, pl.cdiv(k_useds[r], KC))
+
+    # --- composite chunk loop (from VMEM) -----------------------------
+    pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    px = (pix % tile_size).astype(jnp.float32)
+    py = (pix // tile_size).astype(jnp.float32)
+    ones_p = jnp.ones((p, 1), jnp.float32)
+    u_mat = jnp.concatenate(
+        [ones_p, px, py, px * px, py * py, px * py,
+         jnp.zeros((p, 2), jnp.float32)],
+        axis=1,
+    )                                   # [P, 8]
+    tri = (
+        jax.lax.broadcasted_iota(jnp.int32, (KC, KC), 0)
+        <= jax.lax.broadcasted_iota(jnp.int32, (KC, KC), 1)
+    ).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, KC), 1)
+
+    def stack_scalar(vals, dtype):
+        return jnp.concatenate(
+            [jnp.broadcast_to(v.astype(dtype), (p, 1)) for v in vals],
+            axis=0)
+
+    kused_col = stack_scalar(k_useds, jnp.int32)     # [R·P, 1]
+    n_kchunks = k_cap // KC
+    log_cut = float(math.log(alpha_cutoff))
+
+    def read_chunk(r, c):
+        """ordered_ref[r][:, c·KC:(c+1)·KC] at traced c via lax.switch."""
+        return jax.lax.switch(
+            c, [lambda r=r, j=j: ordered_ref[r, :, j * KC:(j + 1) * KC]
+                for j in range(n_kchunks)])
+
+    def chunk_body(state):
+        c, carry, acc4 = state            # carry [R·P, 1], acc4 [R·P, 4]
+        powers, f4s = [], []
+        for r in range(R):
+            o = read_chunk(r, c)                          # [16, KC]
+            mx = o[0:1, :]
+            my = o[1:2, :]
+            ca = o[2:3, :]
+            cb = o[3:4, :]
+            cc = o[4:5, :]
+            op = o[5:6, :]
+            rgb_rows = o[6:9, :]
+            log_op = jnp.log(jnp.maximum(op, 1e-37))
+            v_mat = jnp.concatenate(
+                [
+                    log_op - (0.5 * ca * mx * mx + cb * mx * my
+                              + 0.5 * cc * my * my),
+                    ca * mx + cb * my,
+                    cc * my + cb * mx,
+                    -0.5 * ca,
+                    -0.5 * cc,
+                    -cb,
+                    jnp.zeros((2, KC), jnp.float32),
+                ],
+                axis=0,
+            )                              # [8, KC]
+            # the fold means power' = power + log(op); clamping at
+            # log(op) reproduces the unfolded min(power, 0)
+            powers.append(
+                jnp.minimum(_dot_exact_bf16x3(u_mat, v_mat), log_op))
+            f4s.append(jnp.concatenate(
+                [rgb_rows, jnp.ones((1, KC), jnp.float32)], axis=0))
+        power = jnp.concatenate(powers, axis=0)          # [R·P, KC]
+
+        alpha = jnp.minimum(jnp.exp(power), alpha_max)
+        g = c * KC + lane                                # [1, KC]
+        okay = jnp.logical_and(g < kused_col, power >= log_cut)
+        alpha = jnp.where(okay, alpha, 0.0)
+
+        log1m = jnp.log1p(-alpha)
+        cum = _dot_bf16x2(log1m, tri)                    # [R·P, KC]
+        log_t_incl = carry + cum
+        t_excl = jnp.exp(log_t_incl - log1m)
+        w = jnp.where(log_t_incl < log_eps, 0.0, alpha * t_excl)
+
+        acc4 = acc4 + jnp.concatenate(
+            [
+                _dot_general_bf16x3(
+                    w[r * p:(r + 1) * p], f4s[r], (((1,), (1,)), ((), ()))
+                )
+                for r in range(R)
+            ],
+            axis=0,
+        )                                  # [R·P, 4]
+        carry = carry + cum[:, KC - 1: KC]
+        return c + 1, carry, acc4
+
+    init = (
+        jnp.int32(0),
+        jnp.zeros((R * p, 1), jnp.float32),
+        jnp.zeros((R * p, 4), jnp.float32),
+    )
+    if early_exit:
+        def chunk_cond(state):
+            c, carry, *_ = state
+            return jnp.logical_and(c < max_chunks,
+                                   jnp.max(carry) >= log_eps)
+
+        c_final, carry, acc4 = jax.lax.while_loop(
+            chunk_cond, chunk_body, init)
+    else:
+        c_final, carry, acc4 = jax.lax.fori_loop(
+            0, max_chunks, lambda i, s: chunk_body(s), init)
+
+    out_ref[:, :, :] = acc4.reshape(R, p, 4)
+    fin_ref[:, :, 0:1] = carry.reshape(R, p, 1)
+    fin_ref[:, :, 1:2] = jnp.broadcast_to(
+        c_final.astype(jnp.float32), (R, p, 1))
+
+
+def composite_tiles_anchor(
+    abins: AnchorBins,
+    width: int,
+    height: int,
+    config: RenderConfig,
+    interpret: bool = False,
+    tile_ids: jnp.ndarray | None = None,
+    r_tiles: int | None = None,
+):
+    """Composite all (or a subset of) tiles from an anchor-sorted slab →
+    (tiles [G, P, 4], fin [G, P, 2])."""
+    ts = config.tile_size
+    gx, gy = config.grid_size(width, height)
+    num_tiles = gx * gy
+    p = ts * ts
+    from .raster import k_cap_for
+
+    k_cap = k_cap_for(config)
+    c_max = _c_max(config)
+    packed = abins.packed
+
+    if tile_ids is None:
+        tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    grid_n = tile_ids.shape[0]
+    r = min(r_tiles or config.r_tiles, grid_n)
+    n_groups = -(-grid_n // r)
+    pad = n_groups * r - grid_n
+    tiles_padded = jnp.concatenate(
+        [tile_ids.astype(jnp.int32),
+         jnp.full((pad,), num_tiles, jnp.int32)])
+
+    c_cap = 2 * c_max * KCL
+    fb_rows = 16 if packed else 32
+    kernel = functools.partial(
+        _fwd_kernel,
+        gx=gx,
+        num_tiles=num_tiles,
+        tile_size=ts,
+        k_cap=k_cap,
+        c_max=c_max,
+        alpha_cutoff=config.alpha_cutoff,
+        alpha_max=config.alpha_max,
+        log_eps=float(math.log(config.transmittance_eps)),
+        r_tiles=r,
+        packed=packed,
+        early_exit=config.early_exit,
+    )
+    common_scratch = [
+        pltpu.VMEM((r, 8, c_cap), jnp.int32),     # ukey (8 sublanes pad)
+        pltpu.VMEM((r, 8, c_cap), jnp.float32),   # rank
+        pltpu.VMEM((r, fb_rows, c_cap), jnp.bfloat16),   # field rows
+        pltpu.VMEM((r, 16, k_cap), jnp.float32),  # ordered buffer
+    ]
+    if packed:
+        scratch = [pltpu.VMEM((r, 8, c_cap), jnp.uint32)] \
+            + common_scratch + [pltpu.SemaphoreType.DMA((r, 2 * c_max, 1))]
+    else:
+        scratch = [
+            pltpu.VMEM((r, 8, c_cap), jnp.float32),
+            pltpu.VMEM((r, 4, c_cap), jnp.float32),
+        ] + common_scratch + [pltpu.SemaphoreType.DMA((r, 2 * c_max, 2))]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_groups,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(abins.slab),
+        out_specs=(
+            pl.BlockSpec((r, p, 4), lambda g, s, t: (g, 0, 0)),
+            pl.BlockSpec((r, p, 2), lambda g, s, t: (g, 0, 0)),
+        ),
+        scratch_shapes=scratch,
+    )
+    out, fin = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_groups * r, p, 4), jnp.float32),
+            jax.ShapeDtypeStruct((n_groups * r, p, 2), jnp.float32),
+        ),
+        interpret=interpret,
+    )(abins.starts, tiles_padded, *abins.slab)
+    return out[:grid_n], fin[:grid_n]

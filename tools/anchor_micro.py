@@ -35,7 +35,8 @@ def make_kernel(c_chunks, k_chunks, variant, f_rows=16):
     C = c_chunks * KCL
     K = k_chunks * KCL
 
-    def kernel(offs_ref, slab_hbm, out_ref, union_ref, sem_ref):
+    def kernel(offs_ref, slab_hbm, out_ref, union_ref, ukey_ref,
+               rank_ref, sem_ref):
         g = pl.program_id(0)
 
         # --- load: c_chunks aligned DMAs at pseudo-random offsets ------
@@ -53,21 +54,39 @@ def make_kernel(c_chunks, k_chunks, variant, f_rows=16):
                 sem_ref.at[j],
             ).wait()
 
-        # unique int keys: (key<<12 | lane) from slab row 0
+        # unique int keys: (key<<12 | lane) from slab row 0.
+        # Round-trip through a VMEM ref: lane-offset slices of computed
+        # vectors carry layouts Mosaic cannot broadcast (vpad {*, off});
+        # ref loads at static offsets are clean.
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
-        ukey = ((union_ref[0:1, :].astype(jnp.int32) & 0xFFFF) << 12) | lane
+        ukey_ref[:, :] = (
+            (union_ref[0:1, :].astype(jnp.int32) & 0xFFFF) << 12) | lane
 
         # --- rank: blocked compares + bf16 ones-matmul colsum ----------
         rank = jnp.zeros((1, C), jnp.float32)
+        if variant in ("compare_vpu", "full_vpu"):
+            cols = []
+            for cj in range(c_chunks):
+                kj = ukey_ref[0:1, cj * KCL:(cj + 1) * KCL]
+                cols.append(kj.reshape(KCL, 1))
+            parts = []
+            for ci in range(c_chunks):
+                ki = ukey_ref[0:1, ci * KCL:(ci + 1) * KCL]  # [1, KCL]
+                acc = jnp.zeros((1, KCL), jnp.float32)
+                for cj in range(c_chunks):
+                    less = (cols[cj] < ki).astype(jnp.float32)
+                    acc = acc + jnp.sum(less, axis=0, keepdims=True)
+                parts.append(acc)
+            rank_ref[:, :] = jnp.concatenate(parts, axis=1)  # [1, C]
         if variant in ("compare", "full"):
             ones_row = jnp.ones((8, KCL), jnp.bfloat16)
             cols = []
             for cj in range(c_chunks):
-                kj = ukey[0:1, cj * KCL:(cj + 1) * KCL]
+                kj = ukey_ref[0:1, cj * KCL:(cj + 1) * KCL]
                 cols.append(kj.reshape(KCL, 1))
             parts = []
             for ci in range(c_chunks):
-                ki = ukey[0:1, ci * KCL:(ci + 1) * KCL]      # [1, KCL]
+                ki = ukey_ref[0:1, ci * KCL:(ci + 1) * KCL]  # [1, KCL]
                 acc = jnp.zeros((8, KCL), jnp.float32)
                 for cj in range(c_chunks):
                     less = (cols[cj] < ki).astype(jnp.bfloat16)
@@ -75,11 +94,11 @@ def make_kernel(c_chunks, k_chunks, variant, f_rows=16):
                     acc = acc + jnp.dot(ones_row, less,
                                         preferred_element_type=jnp.float32)
                 parts.append(acc[0:1, :])
-            rank = jnp.concatenate(parts, axis=1)            # [1, C]
+            rank_ref[:, :] = jnp.concatenate(parts, axis=1)  # [1, C]
 
         # --- one-hot permute: [F, C-block] @ [C-block, K-block] --------
         acc_out = jnp.zeros((f_rows, K), jnp.float32)
-        if variant in ("onehot", "full"):
+        if variant in ("onehot", "full", "full_vpu"):
             fields = jnp.concatenate(
                 [jax.lax.bitcast_convert_type(union_ref[:, :], jnp.float32)]
                 + [jax.lax.bitcast_convert_type(union_ref[:, :],
@@ -92,7 +111,7 @@ def make_kernel(c_chunks, k_chunks, variant, f_rows=16):
             for oc in range(k_chunks):
                 o = jnp.zeros((f_rows, KCL), jnp.float32)
                 for ci in range(c_chunks):
-                    rcol = rank[0:1, ci * KCL:(ci + 1) * KCL].reshape(
+                    rcol = rank_ref[0:1, ci * KCL:(ci + 1) * KCL].reshape(
                         KCL, 1).astype(jnp.int32)
                     oh = (rcol == (kio + oc * KCL)).astype(jnp.bfloat16)
                     o = o + jnp.dot(fields[:, ci * KCL:(ci + 1) * KCL], oh,
@@ -100,7 +119,7 @@ def make_kernel(c_chunks, k_chunks, variant, f_rows=16):
                 outs.append(o)
             acc_out = jnp.concatenate(outs, axis=1)          # [F, K]
 
-        out_ref[0, :, :] = acc_out[:, :] + rank[0, 0]
+        out_ref[0, :, :] = acc_out[:, :] + rank_ref[0, 0]
 
 
     return kernel, C, K
@@ -122,6 +141,8 @@ def run_variant(n_tiles, c_chunks, k_chunks, variant, m=2_000_000):
         out_specs=pl.BlockSpec((1, 16, K), lambda g, offs: (g, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((8, C), jnp.uint32),
+            pltpu.VMEM((1, C), jnp.int32),
+            pltpu.VMEM((1, C), jnp.float32),
             pltpu.SemaphoreType.DMA((c_chunks,)),
         ],
     )
@@ -152,7 +173,8 @@ def main():
     enable_compile_cache()
     print(f"devices={jax.devices()}", file=sys.stderr)
 
-    variants = (["none", "compare", "onehot", "full"]
+    variants = (["none", "compare", "compare_vpu", "onehot", "full",
+                 "full_vpu"]
                 if args.variant == "all" else [args.variant])
     base = None
     for v in variants:

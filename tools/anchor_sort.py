@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def measure(n, n_payloads, iters=6):
+def measure(n, n_payloads, iters=8):
     rng = np.random.default_rng(0)
     key = jnp.asarray(rng.integers(0, 2**31, size=(n,), dtype=np.int64)
                       .astype(np.uint32))
@@ -23,16 +23,17 @@ def measure(n, n_payloads, iters=6):
                     .astype(np.uint32))
         for _ in range(n_payloads))
 
-    @jax.jit
-    def f(key, pays):
-        out = jax.lax.sort((key,) + pays, num_keys=1)
-        # consume every payload so nothing is DCE'd by the sort simplifier
-        return sum(o[::4096].astype(jnp.float32).sum() for o in out)
+    def body(c):
+        # perturb the key with the carry so the sort cannot hoist; consume
+        # every payload so nothing is DCE'd by the sort simplifier
+        k = key ^ c.astype(jnp.uint32)
+        out = jax.lax.sort((k,) + pays, num_keys=1)
+        return sum(o[::4096].astype(jnp.float32).sum()
+                   for o in out) * 1e-30
 
-    from gaussian_splatting_web_tpu.utils.metrics import time_fn
+    from gaussian_splatting_web_tpu.utils.metrics import time_fn_device
 
-    jax.block_until_ready(f(key, pays))
-    t = time_fn(lambda: f(key, pays) * 1e-30, iters=iters, warmup=2)
+    t = time_fn_device(body, iters=iters)
     print(f"n={n:>9,} key+{n_payloads} payloads: {t * 1e3:8.2f} ms")
     return t
 
