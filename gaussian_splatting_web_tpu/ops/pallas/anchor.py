@@ -867,3 +867,496 @@ def composite_tiles_anchor(
         interpret=interpret,
     )(abins.starts, tiles_padded, *abins.slab)
     return out[:grid_n], fin[:grid_n]
+
+
+# ======================================================================
+# Backward
+# ======================================================================
+
+from .raster import F_PAD
+
+
+def _bwd_kernel(
+    starts_ref,            # SMEM [T+1] int32
+    tiles_ref,             # SMEM [G_pad] int32
+    cfin_ref,              # SMEM [G_pad] int32: chunks the forward walked
+    *refs,
+    gx: int,
+    num_tiles: int,
+    tile_size: int,
+    k_cap: int,
+    c_max: int,
+    alpha_cutoff: float,
+    alpha_max: float,
+    log_eps: float,
+    packed: bool,
+):
+    """Anchor backward, one tile per grid step: redo the merge (same
+    deterministic ranks as the forward), walk the ordered buffer
+    back-to-front reconstructing per-chunk transmittance carries from
+    the stored finals (raster_bwd's scheme), accumulate the nine pair-
+    gradient rows in ORDERED space in VMEM — no per-chunk store DMA
+    chain — then scatter them back to slab positions with the one-hot
+    transpose and store per union chunk into one of FOUR exclusive row
+    groups (range row-type × tile-column parity), merging only each
+    range's first/last boundary blocks."""
+    if packed:
+        (slab_hbm, fin_ref, cot_ref, dzero_hbm, dpairs_hbm, union_ref,
+         ukey_ref, rank_ref, fldb_ref, ordered_ref, go_ref, gl_ref,
+         rd_ref, st_ref, sem_ref) = refs
+
+        def union_get(r, k, sl):
+            return union_ref[r, k:k + 1, sl]
+
+        def slab_dma(r, q, off):
+            off = pl.multiple_of(off, KCL)
+            return [pltpu.make_async_copy(
+                slab_hbm.at[:, pl.ds(off, KCL)],
+                union_ref.at[r, :, pl.ds(q * KCL, KCL)],
+                sem_ref.at[0, q, 0],
+            )]
+    else:
+        (f8_hbm, f4_hbm, fin_ref, cot_ref, dzero_hbm, dpairs_hbm,
+         union8_ref, union4_ref, ukey_ref, rank_ref, fldb_ref,
+         ordered_ref, go_ref, gl_ref, rd_ref, st_ref, sem_ref) = refs
+
+        def union_get(r, k, sl):
+            if k < 8:
+                return union8_ref[r, k:k + 1, sl]
+            return union4_ref[r, k - 8:k - 7, sl]
+
+        def slab_dma(r, q, off):
+            off = pl.multiple_of(off, KCL)
+            return [
+                pltpu.make_async_copy(
+                    f8_hbm.at[:, pl.ds(off, KCL)],
+                    union8_ref.at[r, :, pl.ds(q * KCL, KCL)],
+                    sem_ref.at[0, q, 0],
+                ),
+                pltpu.make_async_copy(
+                    f4_hbm.at[:, pl.ds(off, KCL)],
+                    union4_ref.at[r, :, pl.ds(q * KCL, KCL)],
+                    sem_ref.at[0, q, 1],
+                ),
+            ]
+
+    del dzero_hbm
+    p = tile_size * tile_size
+    g = pl.program_id(0)
+    n_slots = 2 * c_max
+    n_kchunks = k_cap // KC
+
+    t = tiles_ref[g]
+    sc = _TileScalars(t, starts_ref, gx, num_tiles, c_max)
+    group_par = (sc.tx % 2).astype(jnp.int32)
+
+    def group_of(q):
+        """dpairs row group of union slot q: row-type (A=0, B=1) ×
+        column parity."""
+        rowtype = 0 if q < c_max else 1
+        return rowtype * 2 + group_par
+
+    # prefetch the 4 boundary merge blocks (first/last chunk per range)
+    def rd_dma(slot, q_first, nch, base):
+        cq = jnp.where(slot % 2 == 0, 0, jnp.maximum(nch - 1, 0))
+        off = pl.multiple_of(base + cq * KCL, KCL)
+        grp = group_of(q_first)
+        return pltpu.make_async_copy(
+            dpairs_hbm.at[pl.ds(grp * F_PAD, F_PAD), pl.ds(off, KCL)],
+            rd_ref.at[slot],
+            sem_ref.at[1, slot, 0],
+        )
+
+    # (slot 0, 1) = range A first/last, (2, 3) = range B first/last;
+    # the last-block read starts only for multi-chunk ranges (a single-
+    # chunk range's first block IS its last block)
+    rd_meta = [
+        (0, 0, sc.nchA, sc.baseA, 0), (1, 0, sc.nchA, sc.baseA, 1),
+        (2, c_max, sc.nchB, sc.baseB, 0),
+        (3, c_max, sc.nchB, sc.baseB, 1),
+    ]
+    for slot, q_first, nch, base, min_nch in rd_meta:
+        @pl.when(nch > min_nch)
+        def _(slot=slot, q_first=q_first, nch=nch, base=base):
+            rd_dma(slot, q_first, nch, base).start()
+
+    _, k_used = _merge_tile(
+        0, sc, union_get, ukey_ref, rank_ref, fldb_ref, ordered_ref,
+        slab_dma, tile_size=tile_size, c_max=c_max, k_cap=k_cap,
+        packed=packed)
+    useful = jnp.minimum(cfin_ref[g], pl.cdiv(k_used, KC))
+
+    # zero the ordered-gradient accumulator
+    go_ref[:, :] = jnp.zeros((F_PAD, k_cap), jnp.float32)
+
+    pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    px = (pix % tile_size).astype(jnp.float32)
+    py = (pix // tile_size).astype(jnp.float32)
+    ones_p = jnp.ones((p, 1), jnp.float32)
+    u_mat = jnp.concatenate(
+        [ones_p, px, py, px * px, py * py, px * py,
+         jnp.zeros((p, 2), jnp.float32)],
+        axis=1,
+    )
+    tri = (
+        jax.lax.broadcasted_iota(jnp.int32, (KC, KC), 0)
+        <= jax.lax.broadcasted_iota(jnp.int32, (KC, KC), 1)
+    ).astype(jnp.float32)
+    tri_strict_low = (
+        jax.lax.broadcasted_iota(jnp.int32, (KC, KC), 0)
+        > jax.lax.broadcasted_iota(jnp.int32, (KC, KC), 1)
+    ).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, KC), 1)
+    log_cut = float(math.log(alpha_cutoff))
+    cot = cot_ref[0]                                     # [P, 4]
+
+    def read_chunk(c):
+        return jax.lax.switch(
+            c, [lambda j=j: ordered_ref[0, :, j * KC:(j + 1) * KC]
+                for j in range(n_kchunks)])
+
+    def body(i, carries):
+        s_carry, carry_end = carries      # [P, 1] each
+        c = jnp.maximum(useful - 1 - i, 0)
+        o = read_chunk(c)
+        mx = o[0:1, :]
+        my = o[1:2, :]
+        ca = o[2:3, :]
+        cb = o[3:4, :]
+        cc = o[4:5, :]
+        op = o[5:6, :]
+        rgb_rows = o[6:9, :]
+        f4 = jnp.concatenate(
+            [rgb_rows, jnp.ones((1, KC), jnp.float32)], axis=0)
+
+        v_mat = jnp.concatenate(
+            [
+                -(0.5 * ca * mx * mx + cb * mx * my + 0.5 * cc * my * my),
+                ca * mx + cb * my,
+                cc * my + cb * mx,
+                -0.5 * ca,
+                -0.5 * cc,
+                -cb,
+                jnp.zeros((2, KC), jnp.float32),
+            ],
+            axis=0,
+        )
+        raw_power = _dot_exact_bf16x3(u_mat, v_mat)       # [P, KC]
+        power = jnp.minimum(raw_power, 0.0)
+        e_pow = jnp.exp(power)
+        a_pre = op * e_pow
+        alpha = jnp.minimum(a_pre, alpha_max)
+        window = (c * KC + lane) < k_used
+        dead = jnp.logical_or(alpha < alpha_cutoff,
+                              jnp.logical_not(window))
+        alpha = jnp.where(dead, 0.0, alpha)
+
+        log1m = jnp.log1p(-alpha)
+        cum = _dot_bf16x2(log1m, tri)
+        colsum = cum[:, KC - 1: KC]
+        carry_start = carry_end - colsum
+        log_t_incl = carry_start + cum
+        contrib = log_t_incl >= log_eps
+        t_excl = jnp.exp(log_t_incl - log1m)
+        w = jnp.where(contrib, alpha * t_excl, 0.0)
+
+        rr = _dot_general_bf16x3(cot, f4, (((1,), (0,)), ((), ())))
+        rw = rr * w
+        suffix = _dot_bf16x2(rw, tri_strict_low)
+        s_k = s_carry + suffix
+
+        dalpha = jnp.where(
+            jnp.logical_and(contrib, jnp.logical_not(dead)),
+            t_excl * rr - s_k / (1.0 - alpha),
+            0.0,
+        )
+        da_pre = jnp.where(a_pre > alpha_max, 0.0, dalpha)
+        dpow_u = da_pre * a_pre
+        dpow = jnp.where(raw_power > 0.0, 0.0, dpow_u)
+
+        d_op = jnp.sum(da_pre * e_pow, axis=0, keepdims=True)
+        mom = _dot_general_bf16x3(
+            u_mat, dpow, (((0,), (0,)), ((), ())))        # [8, KC]
+        m0 = mom[0:1, :]
+        m1x = mom[1:2, :]
+        m1y = mom[2:3, :]
+        m2xx = mom[3:4, :]
+        m2yy = mom[4:5, :]
+        m2xy = mom[5:6, :]
+        c1x = m1x - mx * m0
+        c1y = m1y - my * m0
+        d_mx = ca * c1x + cb * c1y
+        d_my = cc * c1y + cb * c1x
+        d_ca = -0.5 * (m2xx - 2.0 * mx * m1x + mx * mx * m0)
+        d_cc = -0.5 * (m2yy - 2.0 * my * m1y + my * my * m0)
+        d_cb = -(m2xy - mx * m1y - my * m1x + mx * my * m0)
+        gmat = _dot_general_bf16x3(
+            cot, w, (((0,), (0,)), ((), ())))             # [4, KC]
+        grads = jnp.concatenate(
+            [d_mx, d_my, d_ca, d_cb, d_cc, gmat[0:1], gmat[1:2],
+             gmat[2:3], d_op, jnp.zeros((F_PAD - 9, KC), jnp.float32)],
+            axis=0,
+        )                                                 # [F_PAD, KC]
+        for j in range(n_kchunks):
+            @pl.when(c == j)
+            def _(j=j, grads=grads):
+                go_ref[:, j * KC:(j + 1) * KC] = grads
+
+        return (s_carry + jnp.sum(rw, axis=1, keepdims=True), carry_start)
+
+    finc0 = fin_ref[0][:, 0:1]
+    jax.lax.fori_loop(
+        0, useful, body, (jnp.zeros((p, 1), jnp.float32), finc0))
+
+    # --- scatter ordered grads back to slab positions ------------------
+    # gl[:, union lane] = Σ_oc go[:, oc] @ one-hotᵀ — exact per lane
+    # (single nonzero), bf16x2 components ≈ 2^-16 relative
+    kio = jax.lax.broadcasted_iota(jnp.int32, (1, KC), 1)
+    for ci in range(n_slots):
+        sl_i = slice(ci * KCL, (ci + 1) * KCL)
+
+        def scat(ci=ci, sl_i=sl_i):
+            rcol = rank_ref[0, 0:1, sl_i].reshape(KCL, 1).astype(jnp.int32)
+            acc = jnp.zeros((F_PAD, KCL), jnp.float32)
+            for oc in range(n_kchunks):
+                def one(oc=oc, rcol=rcol):
+                    # [F_PAD, KC_o] × [KCL, KC_o] contract KC_o →
+                    # [F_PAD, KCL]; one nonzero per output lane, bf16x2
+                    # components ≈ 2^-16 relative
+                    oh = (rcol == kio + oc * KC).astype(jnp.bfloat16)
+                    goc = go_ref[:, oc * KC:(oc + 1) * KC]
+                    h = goc.astype(jnp.bfloat16)
+                    l1 = (goc - h.astype(jnp.float32)).astype(jnp.bfloat16)
+                    dims = (((1,), (1,)), ((), ()))
+                    return (
+                        jax.lax.dot_general(
+                            h, oh, dims,
+                            preferred_element_type=jnp.float32)
+                        + jax.lax.dot_general(
+                            l1, oh, dims,
+                            preferred_element_type=jnp.float32)
+                    )
+
+                acc = acc + jax.lax.cond(
+                    oc < pl.cdiv(k_used, KC), one,
+                    lambda: jnp.zeros((F_PAD, KCL), jnp.float32))
+            return acc
+
+        gl = jax.lax.cond(
+            sc.chunk_live(ci), scat,
+            lambda: jnp.zeros((F_PAD, KCL), jnp.float32))
+        gl_ref[:, sl_i] = gl
+
+    # --- store per union chunk into its row group ----------------------
+    # chunk 0 merges the prefetched first block (leading lanes belong to
+    # the previous same-group tile's segment); the last chunk of a
+    # multi-chunk range merges the last block (trailing lanes belong to
+    # the NEXT same-group tile); interior chunks are pure stores of the
+    # [s0, s1)-masked gradients. Sequential grid execution + the store
+    # drains below order cross-step accesses to shared boundary blocks.
+    lane_l = jax.lax.broadcasted_iota(jnp.int32, (1, KCL), 1)
+
+    def store_dma(q, base, cq, grp):
+        off = pl.multiple_of(base + cq * KCL, KCL)
+        return pltpu.make_async_copy(
+            st_ref.at[q],
+            dpairs_hbm.at[pl.ds(grp * F_PAD, F_PAD), pl.ds(off, KCL)],
+            sem_ref.at[2, q, 0],
+        )
+
+    for q in range(n_slots):
+        base, s0, _, s1, nch, _, cq = sc.slot(q)   # cq is STATIC
+        grp = group_of(q)
+        rd_f = 0 if q < c_max else 2
+        sl = slice(q * KCL, (q + 1) * KCL)
+
+        @pl.when(cq < nch)
+        def _(q=q, base=base, s0=s0, s1=s1, nch=nch, cq=cq, grp=grp,
+              rd_f=rd_f, sl=sl):
+            pos = base + cq * KCL + lane_l
+            mine = jnp.logical_and(pos >= s0, pos < s1)
+            blk = gl_ref[:, sl]
+            is_last = cq == nch - 1
+
+            if cq == 0:
+                # first block (also the single-chunk case, where the
+                # whole block incl. trailing lanes rode in with rd_f)
+                rd_dma(rd_f, q, nch, base).wait()
+                st_ref[q] = jnp.where(mine, blk, rd_ref[rd_f])
+            else:
+                @pl.when(is_last)
+                def _():
+                    rd_dma(rd_f + 1, q, nch, base).wait()
+                    st_ref[q] = jnp.where(mine, blk, rd_ref[rd_f + 1])
+
+                @pl.when(jnp.logical_not(is_last))
+                def _():
+                    st_ref[q] = jnp.where(mine, blk, 0.0)
+
+            store_dma(q, base, cq, grp).start()
+
+    for q in range(n_slots):
+        base, _, _, _, nch, _, cq = sc.slot(q)
+        grp = group_of(q)
+
+        @pl.when(cq < nch)
+        def _(q=q, base=base, cq=cq, grp=grp):
+            store_dma(q, base, cq, grp).wait()
+
+
+def backward_anchor_grads(
+    abins: AnchorBins,
+    fin: jnp.ndarray,             # [G, P, 2] forward finals
+    cot_tiles: jnp.ndarray,       # [G, P, 4] cotangents per tile pixel
+    width: int,
+    height: int,
+    config: RenderConfig,
+    interpret: bool = False,
+    tile_ids: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Run the anchor backward kernel → pair gradients [4·F_PAD, M_pad]
+    (row groups: range row-type × tile-column parity; sum the groups
+    then fold with _fold_pair_grads)."""
+    ts = config.tile_size
+    gx, gy = config.grid_size(width, height)
+    num_tiles = gx * gy
+    p = ts * ts
+    from .raster import k_cap_for
+
+    k_cap = k_cap_for(config)
+    c_max = _c_max(config)
+    packed = abins.packed
+    m_pad = abins.slab[0].shape[1]
+    if tile_ids is None:
+        tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    grid_n = tile_ids.shape[0]
+
+    cfin_s = fin[:, 0, 1].astype(jnp.int32)
+    c_cap = 2 * c_max * KCL
+    fb_rows = 16 if packed else 32
+
+    kernel = functools.partial(
+        _bwd_kernel,
+        gx=gx,
+        num_tiles=num_tiles,
+        tile_size=ts,
+        k_cap=k_cap,
+        c_max=c_max,
+        alpha_cutoff=config.alpha_cutoff,
+        alpha_max=config.alpha_max,
+        log_eps=float(math.log(config.transmittance_eps)),
+        packed=packed,
+    )
+    common_scratch = [
+        pltpu.VMEM((1, 8, c_cap), jnp.int32),     # ukey
+        pltpu.VMEM((1, 8, c_cap), jnp.float32),   # rank
+        pltpu.VMEM((1, fb_rows, c_cap), jnp.bfloat16),
+        pltpu.VMEM((1, 16, k_cap), jnp.float32),  # ordered
+        pltpu.VMEM((F_PAD, k_cap), jnp.float32),  # go: ordered grads
+        pltpu.VMEM((F_PAD, c_cap), jnp.float32),  # gl: loaded-space grads
+        pltpu.VMEM((4, F_PAD, KCL), jnp.float32),  # rd: boundary reads
+        pltpu.VMEM((2 * c_max, F_PAD, KCL), jnp.float32),  # st staging
+        pltpu.SemaphoreType.DMA((3, 2 * c_max, 2)),
+    ]
+    if packed:
+        scratch = [pltpu.VMEM((1, 8, c_cap), jnp.uint32)] + common_scratch
+    else:
+        scratch = [
+            pltpu.VMEM((1, 8, c_cap), jnp.float32),
+            pltpu.VMEM((1, 4, c_cap), jnp.float32),
+        ] + common_scratch
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(grid_n,),
+        in_specs=(
+            [pl.BlockSpec(memory_space=pl.ANY)] * len(abins.slab)
+            + [
+                pl.BlockSpec((1, p, 2), lambda g, s, t, c: (g, 0, 0)),
+                pl.BlockSpec((1, p, 4), lambda g, s, t, c: (g, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),      # dzero
+            ]
+        ),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=scratch,
+    )
+    dzero = jnp.zeros((4 * F_PAD, m_pad), jnp.float32)
+    dzero_idx = 3 + len(abins.slab) + 2
+    dpairs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((4 * F_PAD, m_pad), jnp.float32),
+        input_output_aliases={dzero_idx: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        abins.starts,
+        tile_ids.astype(jnp.int32),
+        cfin_s,
+        *abins.slab,
+        fin,
+        cot_tiles,
+        dzero,
+    )
+    return dpairs
+
+
+def _forward_anchor(splats, width, height, config, interpret):
+    from ..rasterize import assemble_image
+
+    ts = config.tile_size
+    gx, gy = config.grid_size(width, height)
+    abins = bin_splats_anchor(splats, width, height, config)
+    tiles, fin = composite_tiles_anchor(
+        abins, width, height, config, interpret=interpret)
+    out = assemble_image(tiles.reshape(-1, ts, ts, 4), width, height,
+                         gx, gy)
+    stats = {"num_pairs": abins.bins.num_pairs,
+             "overflow": abins.bins.overflow}
+    return (out[..., :3], out[..., 3], stats), (splats, abins, fin)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def rasterize_anchor(splats, width, height, config, interpret=False):
+    """Anchor-binned bin + composite in one differentiable op →
+    (rgb, alpha, stats) — the round-4 replacement for
+    raster.rasterize_pallas (config.binning == 'anchor'). Same API and
+    semantics; the binning sort runs inside the custom-VJP boundary and
+    depth ordering happens in-kernel (merge phase)."""
+    out, _ = _forward_anchor(splats, width, height, config, interpret)
+    return out
+
+
+def _fwd_anchor(splats, width, height, config, interpret=False):
+    return _forward_anchor(splats, width, height, config, interpret)
+
+
+def _bwd_anchor(width, height, config, interpret, residuals, cotangent):
+    import numpy as np
+
+    from .raster import _cot_to_tiles, _fold_pair_grads
+
+    splats, abins, fin = residuals
+    n = splats.depth.shape[0]
+    d_rgb, d_alpha, _ = cotangent
+
+    cot_tiles = _cot_to_tiles((d_rgb, d_alpha), width, height, config)
+    dpairs = backward_anchor_grads(
+        abins, fin, cot_tiles, width, height, config, interpret=interpret)
+    # sum the four hazard row groups → one F_PAD group for the fold
+    m_pad = dpairs.shape[1]
+    dsum = dpairs.reshape(4, F_PAD, m_pad).sum(axis=0)
+    seg = _fold_pair_grads(dsum, abins.bins, n, config)
+
+    d_splats = ProjectedSplats(
+        mean2d=seg[:, 0:2],
+        conic=seg[:, 2:5],
+        depth=jnp.zeros_like(splats.depth),
+        radius=jnp.zeros_like(splats.radius),
+        rgb=seg[:, 5:8],
+        opacity=seg[:, 8],
+        valid=np.zeros(splats.valid.shape, jax.dtypes.float0),
+    )
+    return (d_splats,)
+
+
+rasterize_anchor.defvjp(_fwd_anchor, _bwd_anchor)
