@@ -135,6 +135,22 @@ class RenderConfig:
     # 'auto': fused Pallas compositor on TPU, portable XLA path elsewhere.
     use_pallas: str = "auto"  # 'auto' | 'always' | 'never'
 
+    # Binning architecture for the fused path (round 4):
+    #   'dup':    the duplicated-slot binning sort (ops/sort.bin_splats
+    #             + ops/pallas/raster.py). Default.
+    #   'anchor': ONE sort of N + big-dup entries (key = tile<<16 | d16);
+    #             the kernel touch-filters each tile's two anchor ranges
+    #             and depth-orders candidates in VMEM with an exact
+    #             one-hot merge (ops/pallas/anchor.py). Binning itself is
+    #             8× cheaper (3.2 ms vs 24 at the 1M/1080p bench) but the
+    #             per-tile rank/merge is VPU-compare-bound (~65 ms at 1M
+    #             — tools/profile_anchor.py), so the dup path wins end to
+    #             end on current hardware; kept as a correct, tested
+    #             alternative whose economics flip if candidate unions
+    #             shrink (smaller tiles, sparser scenes) or if a future
+    #             VPU widens compare throughput.
+    binning: str = "dup"  # 'dup' | 'anchor'
+
     # --- fused-kernel grid shape (static fields so tools sweep them per
     # call instead of editing module globals — VERDICT r3 item 9) ----------
     r_tiles: int = 8         # forward kernel: pixel tiles composited per

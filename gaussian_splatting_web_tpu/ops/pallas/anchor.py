@@ -315,10 +315,10 @@ def _c_max(config: RenderConfig) -> int:
     """Merge-phase load chunks per anchor range (static). A range holds
     the tile's candidates PLUS entries that do not touch it (single-
     column splats of the neighbouring anchor, dup entries of other
-    tiles), so the cover budget is 2× max_per_tile plus an alignment
-    chunk; ranges longer than this drop their tail (deepest entries of
-    the right anchor column — counted in the anchor overflow stat)."""
-    return 2 * (config.max_per_tile // KCL) + 1
+    tiles), so the cover budget is max_per_tile + two chunks of slack
+    (alignment lead + non-touching entries); ranges longer than this
+    drop their tail (deepest entries of the right anchor column)."""
+    return config.max_per_tile // KCL + 2
 
 
 # ======================================================================
@@ -413,7 +413,7 @@ class _TileScalars:
 def _merge_tile(
     r, sc: _TileScalars, union_get, ukey_ref, rank_ref, fldb_ref,
     ordered_ref, slab_dma, *,
-    tile_size, c_max, k_cap, packed,
+    tile_size, c_max, k_cap, packed, profile_phase=3,
 ):
     """Load, touch-filter, rank, and one-hot-merge ONE tile's candidate
     union into ordered_ref[r] (f32 rows 0..8 = mx_local, my_local, ca,
@@ -439,9 +439,17 @@ def _merge_tile(
                 for d in slab_dma(r, q, base + cq * KCL):
                     d.start() if phase == 0 else d.wait()
 
+    if profile_phase < 1:
+        ordered_ref[r, :, :] = jnp.zeros_like(ordered_ref[r, :, :])
+        return jnp.int32(0), jnp.int32(0)
+
     # --- per-lane touch + unique order keys ---------------------------
+    # (assembled as full [1, C] rows and written ONCE — Mosaic handles
+    # whole-row stores to multi-row scratch more reliably than repeated
+    # partial-tile writes, and it's fewer stores)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, KCL), 1)
     n_live = jnp.int32(0)
+    ukey_parts = []
     for q in range(n_slots):
         base, s0, sb, s1, nch, own_row, cq = sc.slot(q)
         sl = slice(q * KCL, (q + 1) * KCL)
@@ -459,25 +467,31 @@ def _merge_tile(
         dup = (meta & 4) > 0
         wide = (meta & 2) > 0
         tall = (meta & 1) > 0
+        not_dup = jnp.logical_not(dup)
         ok_col = jnp.logical_or(own_col, wide)
         if own_row:
-            anchor_touch = ok_col
-            dup_touch = own_col
+            # dup entries touch exactly their own tile; anchors extend
+            # left only when wide
+            touch = jnp.logical_or(
+                jnp.logical_and(dup, own_col),
+                jnp.logical_and(not_dup, ok_col))
         else:
-            anchor_touch = jnp.logical_and(ok_col, tall)
-            dup_touch = jnp.zeros_like(dup)
-        touch = jnp.logical_and(
-            jnp.where(dup, dup_touch, anchor_touch), in_rng)
+            # row-above entries: anchors only, and only when tall
+            touch = jnp.logical_and(
+                not_dup, jnp.logical_and(ok_col, tall))
+        touch = jnp.logical_and(touch, in_rng)
         gidx = q * KCL + lane
         if exact_keys:
             ukey = jnp.where(touch, d16, jnp.int32(0x7FFFFFFF))
         else:
             ukey = jnp.where(touch, d16 * 4096 + gidx, DEAD_BASE + gidx)
-        ukey_ref[r, 0:1, sl] = ukey
+        ukey_parts.append(ukey)
         n_live = n_live + jnp.sum(touch.astype(jnp.int32))
+    ukey_ref[r, 0:1, :] = jnp.concatenate(ukey_parts, axis=1)
 
     # --- rank: blocked compares, VPU column sums ----------------------
     # (ones-matmul colsums measured 2.5× slower — tools/anchor_micro.py)
+    rank_parts = []
     for ci in range(n_slots):
         sl_i = slice(ci * KCL, (ci + 1) * KCL)
 
@@ -506,9 +520,14 @@ def _merge_tile(
                     lambda: jnp.zeros((1, KCL), jnp.float32))
             return acc
 
-        rank_ref[r, 0:1, sl_i] = jax.lax.cond(
+        rank_parts.append(jax.lax.cond(
             sc.chunk_live(ci), rank_ci,
-            lambda: jnp.full((1, KCL), float(n_slots * KCL), jnp.float32))
+            lambda: jnp.full((1, KCL), float(n_slots * KCL), jnp.float32)))
+    rank_ref[r, 0:1, :] = jnp.concatenate(rank_parts, axis=1)
+
+    if profile_phase < 2:
+        ordered_ref[r, :, :] = jnp.zeros_like(ordered_ref[r, :, :])
+        return jnp.int32(0), jnp.int32(0)
 
     # --- bf16 component rows for the exact one-hot permute ------------
     # source field order: mx_local, my_local, ca, cb, cc, op, r, g, b.
@@ -552,8 +571,10 @@ def _merge_tile(
         else:
             rows.append(f.astype(jnp.bfloat16))
     fb_rows = fldb_ref.shape[1]
-    for k, row in enumerate(rows):
-        fldb_ref[r, k:k + 1, :] = row
+    c_cap = 2 * c_max * KCL
+    fldb_ref[r, :, :] = jnp.concatenate(
+        rows + [jnp.zeros((fb_rows - len(rows), c_cap), jnp.bfloat16)],
+        axis=0)
 
     # --- one-hot merge into the ordered buffer ------------------------
     k_used = jnp.minimum(n_live, k_cap)
@@ -611,6 +632,7 @@ def _fwd_kernel(
     r_tiles: int,
     packed: bool,
     early_exit: bool,
+    profile_phase: int = 3,
 ):
     """Anchor forward: merge phase per tile (see _merge_tile), then the
     composite chunk loop ENTIRELY FROM VMEM — no per-chunk DMA, no lead
@@ -668,7 +690,7 @@ def _fwd_kernel(
         _, k_used = _merge_tile(
             r, sc, union_get, ukey_ref, rank_ref, fldb_ref, ordered_ref,
             slab_dma, tile_size=tile_size, c_max=c_max, k_cap=k_cap,
-            packed=packed)
+            packed=packed, profile_phase=profile_phase)
         k_useds.append(k_used)
 
     max_chunks = pl.cdiv(k_useds[0], KC)
@@ -794,9 +816,12 @@ def composite_tiles_anchor(
     interpret: bool = False,
     tile_ids: jnp.ndarray | None = None,
     r_tiles: int | None = None,
+    profile_phase: int = 3,
 ):
     """Composite all (or a subset of) tiles from an anchor-sorted slab →
-    (tiles [G, P, 4], fin [G, P, 2])."""
+    (tiles [G, P, 4], fin [G, P, 2]). `profile_phase` truncates the
+    kernel for stage attribution (tools/profile_anchor.py): 0 = DMA
+    loads only, 1 = + touch/rank, 2 = + one-hot merge, 3 = full."""
     ts = config.tile_size
     gx, gy = config.grid_size(width, height)
     num_tiles = gx * gy
@@ -810,7 +835,11 @@ def composite_tiles_anchor(
     if tile_ids is None:
         tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     grid_n = tile_ids.shape[0]
-    r = min(r_tiles or config.r_tiles, grid_n)
+    # the merge scratch (union + keys + ranks + bf16 rows + ordered) is
+    # ~0.5 MB per in-group tile at default caps — cap the group at 4 to
+    # stay inside scoped VMEM (the dup kernel's r_tiles=8 default is
+    # tuned for its much smaller slab scratch)
+    r = min(r_tiles or config.r_tiles, 4, grid_n)
     n_groups = -(-grid_n // r)
     pad = n_groups * r - grid_n
     tiles_padded = jnp.concatenate(
@@ -832,6 +861,7 @@ def composite_tiles_anchor(
         r_tiles=r,
         packed=packed,
         early_exit=config.early_exit,
+        profile_phase=profile_phase,
     )
     common_scratch = [
         pltpu.VMEM((r, 8, c_cap), jnp.int32),     # ukey (8 sublanes pad)

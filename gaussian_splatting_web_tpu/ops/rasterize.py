@@ -335,6 +335,22 @@ def rasterize_tiles(
     return out[..., :3], out[..., 3]
 
 
+def select_fused_rasterizer(width: int, height: int, config: RenderConfig):
+    """Fused bin+composite op for the configured binning architecture:
+    (splats, w, h, config) → (rgb, alpha, stats). 'anchor' needs the
+    tile id to fit 16 packed key bits — beyond-4K frames fall back to
+    the duplicated-slot path."""
+    if (config.binning == "anchor"
+            and (config.num_tiles(width, height) < (1 << 16)
+                 or not config.pack_fields)):
+        from .pallas.anchor import rasterize_anchor
+
+        return rasterize_anchor
+    from .pallas.raster import rasterize_pallas
+
+    return rasterize_pallas
+
+
 def render_impl(
     cloud: GaussianCloud,
     camera: CameraParams,
@@ -363,12 +379,11 @@ def render_impl(
     if config.debug_selected < 0 and (config.use_pallas == "always" or (
         config.use_pallas == "auto" and jax.default_backend() == "tpu"
     )):
-        # bin_splats runs inside rasterize_pallas's custom-VJP boundary so
-        # the splat fields can ride the binning sort as payloads (no pair
+        # binning runs inside the fused op's custom-VJP boundary so the
+        # splat fields can ride the binning sort as payloads (no pair
         # gather) without XLA AD transposing the sort.
-        from .pallas.raster import rasterize_pallas
-
-        rgb, alpha, stats = rasterize_pallas(splats, width, height, config)
+        rasterize_fused = select_fused_rasterizer(width, height, config)
+        rgb, alpha, stats = rasterize_fused(splats, width, height, config)
         num_pairs, overflow = stats["num_pairs"], stats["overflow"]
     else:
         bins = bin_splats(splats, width, height, config)

@@ -127,9 +127,10 @@ def make_densify_train_step(
         if config.use_pallas == "always" or (
             config.use_pallas == "auto" and jax.default_backend() == "tpu"
         ):
-            from ..ops.pallas.raster import rasterize_pallas
+            from ..ops.rasterize import select_fused_rasterizer
 
-            rgb, alpha, _ = rasterize_pallas(splats, width, height, config)
+            fused = select_fused_rasterizer(width, height, config)
+            rgb, alpha, _ = fused(splats, width, height, config)
         else:
             bins = bin_splats(splats, width, height, config)
             rgb, alpha = rasterize_tiles(splats, bins, width, height, config)
