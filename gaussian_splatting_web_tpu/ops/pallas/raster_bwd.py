@@ -90,17 +90,18 @@ def _bwd_kernel(
 ):
     if packed:
         (f6_hbm, fin_ref, cot_ref, dzero_hbm, dpairs_hbm, slab6_ref,
-         st_ref, rd_ref, sem_ref) = refs
+         go_ref, st_ref, rd_ref, sem_ref) = refs
     else:
         (f8_hbm, f4_hbm, fin_ref, cot_ref, dzero_hbm, dpairs_hbm,
-         slab8_ref, slab4_ref, st_ref, rd_ref, sem_ref) = refs
+         slab8_ref, slab4_ref, go_ref, st_ref, rd_ref, sem_ref) = refs
     del dzero_hbm
     p = tile_size * tile_size
     R = r_tiles
     g0 = pl.program_id(0) * R
     ts_f = float(tile_size)
 
-    bases, leads, totals, useful_r, txs, tys = [], [], [], [], [], []
+    bases, leads, totals, useful_r, nch_r, txs, tys = (
+        [], [], [], [], [], [], [])
     for r in range(R):
         t = tiles_ref[g0 + r]
         start = starts_ref[t]
@@ -117,6 +118,7 @@ def _bwd_kernel(
         leads.append(lead)
         totals.append(total)
         useful_r.append(useful)
+        nch_r.append(n_chunks)
         txs.append((t % gx).astype(jnp.float32) * ts_f)
         tys.append((t // gx).astype(jnp.float32) * ts_f)
     max_useful = useful_r[0]
@@ -183,22 +185,30 @@ def _bwd_kernel(
                 ),
             ]
 
-    def merge_read_dma(r):
-        # the tile's FIRST slab block (chunk 0): its leading `lead` lanes
-        # hold earlier tiles' pair gradients and must ride through
-        off = pl.multiple_of(bases[r], KC)
-        return pltpu.make_async_copy(
-            dpairs_hbm.at[pl.ds(r * F_PAD, F_PAD), pl.ds(off, KC)],
-            rd_ref.at[r],
-            sem_ref.at[2, r, 0],
-        )
+    n_cover = k_cap // KC + 1    # cover chunks: k_cap lanes + lead block
 
-    def store_dma(slot, r, c):
+    def rd_dma(r, slot, c):
+        """Boundary-block read: slot 0 = first cover chunk (leading
+        lanes hold the previous tile's gradients), slot 1 = last (its
+        trailing lanes belong to the next tile)."""
         off = pl.multiple_of(bases[r] + c * KC, KC)
         return pltpu.make_async_copy(
-            st_ref.at[slot, r],
             dpairs_hbm.at[pl.ds(r * F_PAD, F_PAD), pl.ds(off, KC)],
-            sem_ref.at[3, r, slot],
+            rd_ref.at[r, slot],
+            sem_ref.at[2, r, slot],
+        )
+
+    def sweep_dma(r, j, from_st, sem_slot):
+        """End-of-tile store of cover chunk j: boundary chunks go via
+        the st staging (merged), interiors straight from go_ref.
+        `sem_slot` is static (the last chunk's j is traced)."""
+        off = pl.multiple_of(bases[r] + j * KC, KC)
+        src = st_ref.at[r, from_st] if from_st is not None \
+            else go_ref.at[r, :, pl.ds(j * KC, KC)]
+        return pltpu.make_async_copy(
+            src,
+            dpairs_hbm.at[pl.ds(r * F_PAD, F_PAD), pl.ds(off, KC)],
+            sem_ref.at[3, r, sem_slot],
         )
 
     def read_slab(s, r):
@@ -229,11 +239,24 @@ def _bwd_kernel(
         return mx, my, ca, cb, cc, rgb_rows, op_row
 
     for r in range(R):
+        # zero the per-tile gradient accumulator (lanes outside the
+        # [lead, total) window stay zero — the masks below never write
+        # them — so interior sweep chunks can pure-store)
+        go_ref[r, :, :] = jnp.zeros(
+            (F_PAD, n_cover * KC), jnp.float32)
+
         @pl.when(useful_r[r] > 0)
         def _(r=r):
             for d in slab_dmas(0, r, c_of(r, 0)):
                 d.start()
-            merge_read_dma(r).start()
+
+        @pl.when(nch_r[r] > 0)
+        def _(r=r):
+            rd_dma(r, 0, 0).start()
+
+        @pl.when(nch_r[r] > 1)
+        def _(r=r):
+            rd_dma(r, 1, nch_r[r] - 1).start()
 
     def body(i, carries):
         s_carry, carry_end = carries      # suffix color; end-of-chunk log T
@@ -377,31 +400,17 @@ def _bwd_kernel(
                 axis=0,
             )
 
+            # accumulate into the per-tile VMEM gradient buffer — NO
+            # per-chunk store DMA (the round-3 kernel's serialized
+            # staged-store chain was its bottleneck; one sweep below
+            # writes everything)
             @pl.when(i < useful_r[r])
             def _(r=r, grads=grads):
                 c = c_of(r, i)
-
-                # the staging slot's previous store (step i-2, same parity)
-                # must have drained before we overwrite it
-                @pl.when(i >= 2)
-                def _(r=r):
-                    store_dma(s, r, c_of(r, i - 2)).wait()
-
-                # chunk 0: merge the prefetched earlier-tile gradients
-                # occupying the leading lanes; all other chunks are whole-
-                # block pure stores (grads are zeroed outside the tile's
-                # [lead, total) segment window by the masks above)
-                @pl.when(c == 0)
-                def _(r=r, grads=grads):
-                    merge_read_dma(r).wait()
-                    st_ref[s, r] = jnp.where(lane < leads[r], rd_ref[r],
-                                             grads)
-
-                @pl.when(c != 0)
-                def _(r=r, grads=grads):
-                    st_ref[s, r] = grads
-
-                store_dma(s, r, c).start()
+                for j in range(n_cover):
+                    @pl.when(c == j)
+                    def _(r=r, grads=grads, j=j):
+                        go_ref[r, :, j * KC:(j + 1) * KC] = grads
 
         # advance the back-to-front carries: active rows step to the start
         # of the chunk just processed; inactive rows already had colsum 0
@@ -413,21 +422,57 @@ def _bwd_kernel(
         0, max_useful, body,
         (jnp.zeros((R * p, 1), jnp.float32), finc0))
 
-    # drain the (up to two) in-flight pair-gradient stores per tile before
-    # the next grid step may touch a shared boundary block of the same row
-    # group
+    # --- end-of-tile sweep: one store per cover chunk ------------------
+    # chunk 0 merges the prefetched first block (leading lanes belong to
+    # the previous tile), the last chunk merges its block (trailing lanes
+    # belong to the next tile); interiors pure-store from go_ref. Writes
+    # to blocks shared with neighbouring grid steps are ordered by the
+    # sequential grid + the drains below.
     for r in range(R):
-        @pl.when(useful_r[r] > 1)
+        @pl.when(nch_r[r] > 0)
         def _(r=r):
-            store_dma(
-                (useful_r[r] - 2) % 2, r, c_of(r, useful_r[r] - 2)
-            ).wait()
+            rd_dma(r, 0, 0).wait()
+            first = go_ref[r, :, 0:KC]
+            # single-chunk segments: the first block is also the last —
+            # the one prefetched read covers both boundaries
+            mine0 = jnp.logical_and(lane >= leads[r],
+                                    jnp.logical_or(nch_r[r] > 1,
+                                                   lane < totals[r]))
+            st_ref[r, 0] = jnp.where(mine0, first, rd_ref[r, 0])
+            sweep_dma(r, 0, from_st=0, sem_slot=0).start()
 
-        @pl.when(useful_r[r] > 0)
+        @pl.when(nch_r[r] > 1)
         def _(r=r):
-            store_dma(
-                (useful_r[r] - 1) % 2, r, c_of(r, useful_r[r] - 1)
-            ).wait()
+            rd_dma(r, 1, nch_r[r] - 1).wait()
+            lastc = nch_r[r] - 1
+            last_blk = jax.lax.switch(
+                jnp.clip(lastc, 0, n_cover - 1),
+                [lambda r=r, j=j: go_ref[r, :, j * KC:(j + 1) * KC]
+                 for j in range(n_cover)])
+            tail = totals[r] - lastc * KC
+            st_ref[r, 1] = jnp.where(lane < tail, last_blk, rd_ref[r, 1])
+            sweep_dma(r, lastc, from_st=1, sem_slot=n_cover).start()
+
+        # interior chunks: pure stores straight from go_ref
+        for j in range(1, n_cover - 1):
+            @pl.when(j < nch_r[r] - 1)
+            def _(r=r, j=j):
+                sweep_dma(r, j, from_st=None, sem_slot=j).start()
+
+    for r in range(R):
+        @pl.when(nch_r[r] > 0)
+        def _(r=r):
+            sweep_dma(r, 0, from_st=0, sem_slot=0).wait()
+
+        @pl.when(nch_r[r] > 1)
+        def _(r=r):
+            sweep_dma(r, nch_r[r] - 1, from_st=1,
+                      sem_slot=n_cover).wait()
+
+        for j in range(1, n_cover - 1):
+            @pl.when(j < nch_r[r] - 1)
+            def _(r=r, j=j):
+                sweep_dma(r, j, from_st=None, sem_slot=j).wait()
 
 
 def backward_pair_grads(
@@ -510,9 +555,11 @@ def backward_pair_grads(
         ),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=slab_scratch + [
-            pltpu.VMEM((2, r, F_PAD, KC), jnp.float32),   # store staging
-            pltpu.VMEM((r, F_PAD, KC), jnp.float32),      # merge read
-            pltpu.SemaphoreType.DMA((4, r, 2)),
+            # per-tile gradient accumulator (k_cap + one lead chunk)
+            pltpu.VMEM((r, F_PAD, (k_cap // KC + 1) * KC), jnp.float32),
+            pltpu.VMEM((r, 2, F_PAD, KC), jnp.float32),   # boundary st
+            pltpu.VMEM((r, 2, F_PAD, KC), jnp.float32),   # boundary rd
+            pltpu.SemaphoreType.DMA((4, r, k_cap // KC + 2)),
         ],
     )
     dzero = jnp.zeros((r * F_PAD, m_pad), jnp.float32)
