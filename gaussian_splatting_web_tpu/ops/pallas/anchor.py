@@ -332,8 +332,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .raster import (
-    KC, _bitcast_f32, _dot_bf16x2, _dot_exact_bf16x3, _dot_general_bf16x3,
-    _unpack_hi, _unpack_lo,
+    KC, _bitcast_f32, _dot_bf16x2, _dot_exact_bf16x3,
+    _dot_general_bf16x3, _unpack_hi, _unpack_lo,
 )
 
 DEAD_BASE = 0x10000000   # packed mode: dead-lane keys DEAD_BASE + lane —

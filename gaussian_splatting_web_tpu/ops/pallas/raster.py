@@ -120,6 +120,39 @@ def _dot_general_bf16x3(x, y, dims):
 # so tools sweep them per call instead of editing module globals.
 
 
+def _lane_cumsum(x, reverse: bool = False):
+    """Inclusive (or reverse-EXCLUSIVE) cumulative sum along the lane
+    axis of [M, KC], as a Hillis-Steele log-shift scan on the VPU.
+
+    Replaces the round-3 [KC, KC] triangular bf16x2 matmuls: the scan is
+    log2(KC) (roll + mask + add) passes ≈ 0.5M VPU ops per [256, 256]
+    chunk vs 2×134 MFLOP of MXU work — the backward's four tri passes
+    per chunk were its MXU floor (~7 TFLOP per frame at the 1M bench).
+    Plain f32 adds are also MORE precise than the bf16x2 matmul
+    (~2^-17), shrinking kernel-vs-XLA parity error.
+
+    reverse=True gives s[i] = Σ_{j>i} x[j] (the backward's suffix)."""
+    kc = x.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, kc), 1)
+    if reverse:
+        # strict suffix: shift left once (zeros in), then inclusive scan
+        # toward lower lanes (pltpu.roll is circular with non-negative
+        # shift; left-shift by k ≡ roll by kc − k, wrapped lanes masked)
+        x = jnp.where(lane < kc - 1,
+                      pltpu.roll(x, shift=kc - 1, axis=1), 0.0)
+        k = 1
+        while k < kc:
+            x = x + jnp.where(lane < kc - k,
+                              pltpu.roll(x, shift=kc - k, axis=1), 0.0)
+            k *= 2
+        return x
+    k = 1
+    while k < kc:
+        x = x + jnp.where(lane >= k, pltpu.roll(x, shift=k, axis=1), 0.0)
+        k *= 2
+    return x
+
+
 def _bitcast_f32(u):
     return jax.lax.bitcast_convert_type(u, jnp.float32)
 
@@ -205,8 +238,10 @@ def _kernel(
         axis=1,
     )                                   # [P, 8]
 
-    # lane-axis inclusive cumsum as an MXU matmul (no native cumsum);
-    # shared across the R stacked tiles — rows scan independently
+    # lane-axis inclusive cumsum as an MXU matmul: the forward is HBM-
+    # bandwidth-bound, not MXU-bound, and the Hillis-Steele lane scan's
+    # [R·P, KC] f32 temporaries blow scoped VMEM at R=8 — the scan pays
+    # off only in the backward (R=1, MXU-bound; see raster_bwd)
     tri = (
         jax.lax.broadcasted_iota(jnp.int32, (KC, KC), 0)
         <= jax.lax.broadcasted_iota(jnp.int32, (KC, KC), 1)

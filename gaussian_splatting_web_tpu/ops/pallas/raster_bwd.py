@@ -324,6 +324,10 @@ def _bwd_kernel(
         alpha = jnp.where(dead, 0.0, alpha)
 
         log1m = jnp.log1p(-alpha)
+        # tri matmul, NOT a lane-roll scan: a Hillis-Steele pltpu.roll
+        # scan was measured SLOWER end to end (fwd+bwd 133.7 vs 118.9 ms
+        # at the 1M bench) — the 8 roll+mask+add passes cost more than
+        # two bf16 MXU passes that overlap the VPU work anyway
         cum = _dot_bf16x2(log1m, tri)
         # reconstruct this chunk's starting carry from the end-of-chunk
         # carry: carry_start = carry_end − Σ_lanes log(1-α). Inactive rows
