@@ -36,6 +36,12 @@ def main():
                     "densify active, jitted-step ms/it measured on device")
     ap.add_argument("--capacity", type=float, default=4.0,
                     help="arena capacity as a multiple of the initial N")
+    ap.add_argument("--init", default="sfm", choices=("sfm", "random"),
+                    help="'sfm': start from noise-jittered target points "
+                    "with random appearance (the synthetic stand-in for "
+                    "the SfM point cloud every real capture provides - "
+                    "INRIA never starts from random space); 'random': "
+                    "unrelated random cloud")
     args = ap.parse_args()
     if args.scale:
         args.width, args.height = 416, 312
@@ -66,7 +72,8 @@ def main():
     # platform to CPU at import time (that silently put every earlier
     # train bench on CPU; the r2 artifact's 128 ms/it was CPU compute,
     # not TPU). Reproduce its scene generator inline instead.
-    def make_random_cloud(n, seed=0, sh_degree=0, spread=1.0):
+    def make_random_cloud(n, seed=0, sh_degree=0, spread=1.0,
+                          scale_range=(-3.5, -1.5), sh_rest_scale=None):
         import numpy as _np
 
         from gaussian_splatting_web_tpu.core.types import GaussianCloud
@@ -75,14 +82,17 @@ def main():
         k = {0: 1, 1: 4, 2: 9, 3: 16}[sh_degree]
         q = rng.normal(size=(n, 4)).astype(_np.float32)
         q /= _np.linalg.norm(q, axis=1, keepdims=True)
+        sh = rng.normal(scale=0.3, size=(n, k, 3)).astype(_np.float32)
+        if sh_rest_scale is not None and k > 1:
+            sh[:, 1:] *= sh_rest_scale / 0.3
         return GaussianCloud(
             xyz=(rng.normal(size=(n, 3)) * spread).astype(_np.float32),
-            log_scale=rng.uniform(-3.5, -1.5, size=(n, 3)).astype(
+            log_scale=rng.uniform(*scale_range, size=(n, 3)).astype(
                 _np.float32),
             quat=q,
             opacity_logit=rng.uniform(-2.0, 2.0, size=(n,)).astype(
                 _np.float32),
-            sh=rng.normal(scale=0.3, size=(n, k, 3)).astype(_np.float32),
+            sh=sh,
         )
 
     enable_compile_cache()
@@ -91,9 +101,15 @@ def main():
         cfg = RenderConfig(max_dup=32, max_per_tile=512, tile_chunk=8)
         # ground truth: a 4k-splat SH-3 cloud — recoverable by the INRIA
         # recipe (the target IS a gaussian mixture) yet big enough that
-        # the fit must densify into the thousands
+        # the fit must densify into the thousands. Scales are capture-like
+        # (smooth surface blobs, not sub-pixel speckle: a random
+        # sub-pixel mixture gives vanishing alignment gradients and caps
+        # PSNR near 19 regardless of capacity — measured r4), and the SH
+        # rest bands are mild view-dependence rather than noise.
         target_cloud = make_random_cloud(4000, seed=7, sh_degree=3,
-                                         spread=1.0)
+                                         spread=1.0,
+                                         scale_range=(-2.8, -1.4),
+                                         sh_rest_scale=0.1)
         sh_degree_start = 3
         n_start = 2000
     else:
@@ -119,10 +135,24 @@ def main():
     held_out_cam = camera_at(np.pi / args.views + 0.13, y=0.6)
     held_out_img, _ = render(target_cloud, held_out_cam, w, h, cfg)
 
-    start = GaussianModel.from_cloud(
-        make_random_cloud(n_start, seed=99, sh_degree=sh_degree_start,
-                          spread=1.2)
-    )
+    if args.init == "sfm" and args.scale:
+        # synthetic SfM init: subsample the target's point locations with
+        # 5% jitter; appearance (scale/rot/opacity/SH) stays random —
+        # geometry seeding is what SfM gives a real pipeline
+        rng = np.random.default_rng(99)
+        sel = rng.choice(target_cloud.xyz.shape[0], size=n_start,
+                         replace=False)
+        init_cloud = make_random_cloud(
+            n_start, seed=99, sh_degree=sh_degree_start, spread=1.2)
+        init_cloud.xyz = (np.asarray(target_cloud.xyz)[sel]
+                          + rng.normal(scale=0.05, size=(n_start, 3))
+                          ).astype(np.float32)
+        start = GaussianModel.from_cloud(init_cloud)
+    else:
+        start = GaussianModel.from_cloud(
+            make_random_cloud(n_start, seed=99, sh_degree=sh_degree_start,
+                              spread=1.2)
+        )
 
     t0 = time.time()
     loop = TrainLoopConfig(
