@@ -336,8 +336,26 @@ from .raster import (
     _dot_general_bf16x3, _unpack_hi, _unpack_lo,
 )
 
-DEAD_BASE = 0x10000000   # packed mode: dead-lane keys DEAD_BASE + lane —
-                         # above any live (d16 << 12 | lane) < 2^28
+def _order_mult(c_max: int) -> int:
+    """Packed-mode order-key multiplier: ukey = d16·mult + gidx with
+    gidx = q·KCL + lane < 2·c_max·KCL. The multiplier must exceed every
+    live gidx or keys collide (ADVICE r4, medium: the old fixed 4096 was
+    only injective up to max_per_tile = 1536); derived as the next power
+    of two ≥ the union size. 65535·mult + gidx must also fit int32, which
+    bounds mult ≤ 2^14 (checked in rasterize_anchor/bin_splats_anchor:
+    max_per_tile ≤ (32−2)·KCL = 7680)."""
+    union = 2 * c_max * KCL
+    mult = 1 << (union - 1).bit_length()
+    if mult > (1 << 14):
+        raise ValueError(
+            f"anchor packed order keys overflow int32 for union size "
+            f"{union} (max_per_tile too large; keep it ≤ {30 * KCL})")
+    return max(mult, 4096)
+
+
+def _dead_base(c_max: int) -> int:
+    """First dead-lane key: above every live d16·mult + gidx."""
+    return (1 << 16) * _order_mult(c_max)
 
 
 def _split3(v):
@@ -484,7 +502,8 @@ def _merge_tile(
         if exact_keys:
             ukey = jnp.where(touch, d16, jnp.int32(0x7FFFFFFF))
         else:
-            ukey = jnp.where(touch, d16 * 4096 + gidx, DEAD_BASE + gidx)
+            ukey = jnp.where(touch, d16 * _order_mult(c_max) + gidx,
+                             _dead_base(c_max) + gidx)
         ukey_parts.append(ukey)
         n_live = n_live + jnp.sum(touch.astype(jnp.int32))
     ukey_ref[r, 0:1, :] = jnp.concatenate(ukey_parts, axis=1)

@@ -383,8 +383,12 @@ def make_gaussian_sharded_train_step(
             splats_shard = project_gaussians(
                 cloud_shard, camera, width, height, config
             )
+            over = jnp.zeros((), jnp.int32)
             if banded:
-                splats, _over = banded_candidates(
+                # cap_hop truncation drops splats (and their gradients)
+                # silently — surface the count so an undersized
+                # cand_factor is detectable during training (ADVICE r4)
+                splats, over = banded_candidates(
                     splats_shard, width, height, n_tile, rows_per,
                     cap_hop, config)
             else:
@@ -407,38 +411,44 @@ def make_gaussian_sharded_train_step(
                                  gx, gy)
             bg = jnp.asarray(config.background, dtype=out.dtype)
             img = out[..., :3] + (1.0 - out[..., 3:4]) * bg
-            return photometric_loss(img, target, lambda_dssim)
+            return photometric_loss(img, target, lambda_dssim), over
 
-        losses = jax.lax.map(lambda ct: one_cam(ct[0], ct[1]),
-                             (cameras, targets))
-        return jnp.mean(losses) / n_tile  # pre-scale for the tile psum
+        losses, overs = jax.lax.map(lambda ct: one_cam(ct[0], ct[1]),
+                                    (cameras, targets))
+        # pre-scale for the tile psum; overflow rides as non-diff aux
+        return jnp.mean(losses) / n_tile, jax.lax.stop_gradient(
+            jnp.sum(overs))
 
     @partial(
         shard_map,
         mesh=mesh,
         in_specs=(P(AXES.tile), P(AXES.data), P(AXES.data), P(AXES.tile)),
-        out_specs=(P(), P(AXES.tile)),
+        out_specs=(P(), P(), P(AXES.tile)),
         check_vma=False,
     )
     def grads_shard(params_shard, cameras, targets, my_tiles):
-        loss, g = jax.value_and_grad(local_loss)(
+        (loss, over), g = jax.value_and_grad(
+            local_loss, has_aux=True)(
             params_shard, cameras, targets, my_tiles
         )
         loss = jax.lax.pmean(jax.lax.psum(loss, AXES.tile), AXES.data)
+        over = jax.lax.psum(jax.lax.psum(over, AXES.tile), AXES.data)
         # parameter grads are shard-local already (ring transpose); only
         # average over the data-parallel camera batch
         g = jax.lax.pmean(g, AXES.data)
-        return loss, g
+        return loss, over, g
 
     @jax.jit
     def step(state: TrainState, cameras: CameraParams, targets: jnp.ndarray):
-        loss, grads = grads_shard(state.params, cameras, targets, tile_ids)
+        loss, over, grads = grads_shard(
+            state.params, cameras, targets, tile_ids)
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )
         params = optax.apply_updates(state.params, updates)
-        return TrainState(params=params, opt_state=opt_state,
-                          step=state.step + 1), loss
+        return (TrainState(params=params, opt_state=opt_state,
+                           step=state.step + 1), loss,
+                {"overflow": over})
 
     return step
 

@@ -92,16 +92,32 @@ def run_with_restarts(
             return train_fn(checkpoint_dir)
         except KeyboardInterrupt:
             raise
-        except (ValueError, TypeError, KeyError, AttributeError):
-            # Deterministic programming/config errors — e.g. a checkpoint
-            # restored against a different model size or an incompatible
-            # tree template — fail identically on every attempt; retrying
-            # them only burns max_restarts × growing backoff before the
-            # real error surfaces (ADVICE r3). Transient pod failures
-            # (preemption, collective timeouts, RPC flaps) surface as
-            # backend RuntimeError/XlaRuntimeError subclasses instead.
-            raise
-        except Exception as e:  # noqa: BLE001 — retry any backend failure
+        except Exception as e:  # noqa: BLE001
+            # Retry only failures that look transient (ADVICE r4: match
+            # known-transient types explicitly rather than blacklisting
+            # deterministic ones — a distributed-runtime failure that
+            # happens to surface as ValueError should still be retried,
+            # while a deterministic shape/config error should not).
+            # Known-transient: the backend's XlaRuntimeError (collective
+            # timeouts, preemption, RPC flaps), grpc errors, OSError
+            # (checkpoint I/O), and generic RuntimeError from the
+            # distributed service.
+            transient_names = (
+                "XlaRuntimeError", "RpcError", "InternalError",
+                "UnavailableError", "DeadlineExceededError",
+                "AbortedError",
+            )
+            is_transient = (
+                isinstance(e, (RuntimeError, OSError, ConnectionError))
+                or any(c.__name__ in transient_names
+                       for c in type(e).__mro__)
+            )
+            if not is_transient:
+                # Deterministic programming/config errors — e.g. a
+                # checkpoint restored against a different model size —
+                # fail identically on every attempt; surface immediately
+                # (ADVICE r3).
+                raise
             attempt += 1
             if attempt > max_restarts:
                 raise

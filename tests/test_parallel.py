@@ -242,7 +242,7 @@ def test_gaussian_sharded_train_matches_single_device():
 
     step = make_gaussian_sharded_train_step(opt, W, H, mesh, CFG,
                                             lambda_dssim=0.2)
-    state1, loss_sharded = step(state0, cameras, targets)
+    state1, loss_sharded, _aux = step(state0, cameras, targets)
 
     def loss_fn(params):
         def one(cam_i, tgt):
@@ -297,7 +297,7 @@ def test_gaussian_sharded_banded_train_matches_replicated():
     step = make_gaussian_sharded_train_step(
         opt, w, h, mesh, cfg, lambda_dssim=0.2,
         banded=True, cand_factor=cand_factor, n_gaussians=n)
-    state1, loss_banded = step(state0, cameras, targets)
+    state1, loss_banded, aux_b = step(state0, cameras, targets)
 
     # per-device candidate set is ≈cand_factor/S of N in the TRAIN step
     assert s * banded_cap_hop(n, s, cand_factor) <= cand_factor * n / s
@@ -361,3 +361,39 @@ def test_run_with_restarts_gives_up():
 
     with _pytest.raises(RuntimeError):
         run_with_restarts(always_fails, max_restarts=2, backoff_s=0.0)
+
+
+def test_run_with_restarts_no_retry_deterministic():
+    """Deterministic errors surface immediately; transient-named ones
+    (e.g. grpc UnavailableError) retry even if not RuntimeError
+    (ADVICE r4)."""
+    import pytest as _pytest
+
+    from gaussian_splatting_web_tpu.parallel.multihost import (
+        run_with_restarts,
+    )
+
+    calls = []
+
+    def bad_config(_):
+        calls.append(1)
+        raise ValueError("shape mismatch")
+
+    with _pytest.raises(ValueError):
+        run_with_restarts(bad_config, max_restarts=3, backoff_s=0.0)
+    assert len(calls) == 1  # not retried
+
+    class UnavailableError(Exception):  # grpc-style transient
+        pass
+
+    calls2 = []
+
+    def flaky_rpc(_):
+        calls2.append(1)
+        if len(calls2) < 2:
+            raise UnavailableError("channel down")
+        return "ok"
+
+    assert run_with_restarts(flaky_rpc, max_restarts=3,
+                             backoff_s=0.0) == "ok"
+    assert len(calls2) == 2
