@@ -121,6 +121,15 @@ class RenderConfig:
     # 1/255 cutoff boundary, image abs error ~1e-3 — below the kernel's
     # existing f32-vs-MXU noise. False = exact f32 payloads (oracle mode).
     pack_fields: bool = True
+    # mean2d payload as ONE u32 of tile-relative 1/32-px fixed point
+    # (range ±1024 px, max error 1/64 px) instead of two f32 payloads —
+    # one fewer sort payload (~3.9 ms at the 1M bench). The fused kernel
+    # works in tile-local coordinates anyway; both compositor paths apply
+    # the identical quantization (ops.sort.quantize_mean16, straight-
+    # through gradient). Only active when pack_fields is on. Splats binned
+    # to tiles > 1024 px from their center clamp — only radius > 1024 px
+    # monsters, whose footprints the max_dup cap already truncates.
+    pack_mean16: bool = True
     # Same trick for the backward fold: pair gradients sort back to dense
     # slot order bf16-packed (5 u32 payloads instead of 9 f32). Error is
     # ~0.2% of each pair gradient, zero-mean; the parity gate measures

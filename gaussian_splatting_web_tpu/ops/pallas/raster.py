@@ -119,38 +119,43 @@ def _dot_general_bf16x3(x, y, dims):
 # RenderConfig (config.r_tiles / r_tiles_bwd / early_exit) as static fields
 # so tools sweep them per call instead of editing module globals.
 
+KB = 128          # cumsum block width (one MXU/lane-register tile)
+LOG_PAD = -1e4    # constant-row penalty for lanes outside a tile's
+                  # segment window: power' ≤ LOG_PAD + O(10²) stays far
+                  # below log(alpha_cutoff) ≈ −5.5, so the cutoff compare
+                  # kills the lane. Finite (NOT −inf) so the bf16x3
+                  # operand split never produces inf − inf = NaN.
 
-def _lane_cumsum(x, reverse: bool = False):
-    """Inclusive (or reverse-EXCLUSIVE) cumulative sum along the lane
-    axis of [M, KC], as a Hillis-Steele log-shift scan on the VPU.
 
-    Replaces the round-3 [KC, KC] triangular bf16x2 matmuls: the scan is
-    log2(KC) (roll + mask + add) passes ≈ 0.5M VPU ops per [256, 256]
-    chunk vs 2×134 MFLOP of MXU work — the backward's four tri passes
-    per chunk were its MXU floor (~7 TFLOP per frame at the 1M bench).
-    Plain f32 adds are also MORE precise than the bf16x2 matmul
-    (~2^-17), shrinking kernel-vs-XLA parity error.
+def _tri_block():
+    """[KB, KB] upper-triangular 0/1 mask (exact in bf16)."""
+    return (
+        jax.lax.broadcasted_iota(jnp.int32, (KB, KB), 0)
+        <= jax.lax.broadcasted_iota(jnp.int32, (KB, KB), 1)
+    ).astype(jnp.float32)
 
-    reverse=True gives s[i] = Σ_{j>i} x[j] (the backward's suffix)."""
-    kc = x.shape[-1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, kc), 1)
-    if reverse:
-        # strict suffix: shift left once (zeros in), then inclusive scan
-        # toward lower lanes (pltpu.roll is circular with non-negative
-        # shift; left-shift by k ≡ roll by kc − k, wrapped lanes masked)
-        x = jnp.where(lane < kc - 1,
-                      pltpu.roll(x, shift=kc - 1, axis=1), 0.0)
-        k = 1
-        while k < kc:
-            x = x + jnp.where(lane < kc - k,
-                              pltpu.roll(x, shift=kc - k, axis=1), 0.0)
-            k *= 2
-        return x
-    k = 1
-    while k < kc:
-        x = x + jnp.where(lane >= k, pltpu.roll(x, shift=k, axis=1), 0.0)
-        k *= 2
-    return x
+
+def _cumsum_tri_blocked(x, tri_b):
+    """Inclusive lane cumsum of [M, KC] as TWO [KB, KB] triangular bf16x2
+    matmuls plus a block-offset add — half the MXU MACs of the single
+    [KC, KC] pass it replaces (2·KB² vs KC² per row per bf16 pass).
+    `tri_b` is `_tri_block()`, hoisted by the caller."""
+    a = x[:, :KB]
+    b = x[:, KB:]
+    ca = _dot_bf16x2(a, tri_b)
+    cb = _dot_bf16x2(b, tri_b)
+    return jnp.concatenate([ca, cb + ca[:, KB - 1:KB]], axis=1)
+
+
+def _suffix_tri_blocked(x, tsl_b):
+    """Strict-suffix lane sum s[i] = Σ_{j>i} x[j] of [M, KC], blocked the
+    same way (backward pass). `tsl_b` is the strict-lower [KB, KB] mask."""
+    a = x[:, :KB]
+    b = x[:, KB:]
+    sb = _dot_bf16x2(b, tsl_b)
+    sum_b = jnp.sum(b, axis=1, keepdims=True)
+    sa = _dot_bf16x2(a, tsl_b) + sum_b
+    return jnp.concatenate([sa, sb], axis=1)
 
 
 def _bitcast_f32(u):
@@ -164,6 +169,51 @@ def _unpack_hi(u):
 
 def _unpack_lo(u):
     return _bitcast_f32(u << 16)
+
+
+def _decode_slab(slab, op4_row, packed: bool, mean16: bool, tx, ty):
+    """(mx, my, ca, cb, cc, rgb_rows [3, KC], op_row [1, KC]) in tile-
+    LOCAL coordinates from one resident slab chunk.
+
+    packed+mean16: row 0 is the u16-pair tile-relative mean
+    (ops.sort.pack_mean16_rel) — already tile-local, no origin subtract —
+    and the 4 bf16 packs follow in rows 1-4. packed: rows 0-1 are bitcast
+    f32 global means, packs in rows 2-5. unpacked: slab is the [8, KC]
+    f32 array, op4_row the opacity row of the f4 slab."""
+    from ..sort import MEAN16_OFF, MEAN16_SCALE
+
+    if packed:
+        if mean16:
+            # u32 → i32 → f32: Mosaic has no u32→f32 cast; both 16-bit
+            # halves fit int32 exactly
+            u = slab[0:1, :]
+            mx = ((u & jnp.uint32(0xFFFF)).astype(jnp.int32)
+                  .astype(jnp.float32) * (1.0 / MEAN16_SCALE) - MEAN16_OFF)
+            my = ((u >> 16).astype(jnp.int32)
+                  .astype(jnp.float32) * (1.0 / MEAN16_SCALE) - MEAN16_OFF)
+            o = 1
+        else:
+            mx = _bitcast_f32(slab[0:1, :]) - tx
+            my = _bitcast_f32(slab[1:2, :]) - ty
+            o = 2
+        ca = _unpack_hi(slab[o:o + 1, :])
+        cb = _unpack_lo(slab[o:o + 1, :])
+        cc = _unpack_hi(slab[o + 1:o + 2, :])
+        op_row = _unpack_lo(slab[o + 1:o + 2, :])
+        rgb_rows = jnp.concatenate([
+            _unpack_hi(slab[o + 2:o + 3, :]),
+            _unpack_lo(slab[o + 2:o + 3, :]),
+            _unpack_hi(slab[o + 3:o + 4, :]),
+        ], axis=0)                            # [3, KC]
+    else:
+        mx = slab[0:1, :] - tx
+        my = slab[1:2, :] - ty
+        ca = slab[2:3, :]
+        cb = slab[3:4, :]
+        cc = slab[4:5, :]
+        op_row = op4_row
+        rgb_rows = slab[5:8, :]
+    return mx, my, ca, cb, cc, rgb_rows, op_row
 
 
 def _kernel(
@@ -188,6 +238,7 @@ def _kernel(
     log_eps: float,
     r_tiles: int,
     packed: bool,
+    mean16: bool,
     early_exit: bool,
 ):
     if packed:
@@ -238,25 +289,12 @@ def _kernel(
         axis=1,
     )                                   # [P, 8]
 
-    # lane-axis inclusive cumsum as an MXU matmul: the forward is HBM-
-    # bandwidth-bound, not MXU-bound, and the Hillis-Steele lane scan's
-    # [R·P, KC] f32 temporaries blow scoped VMEM at R=8 — the scan pays
-    # off only in the backward (R=1, MXU-bound; see raster_bwd)
-    tri = (
-        jax.lax.broadcasted_iota(jnp.int32, (KC, KC), 0)
-        <= jax.lax.broadcasted_iota(jnp.int32, (KC, KC), 1)
-    ).astype(jnp.float32)
+    # lane-axis inclusive cumsum as blocked MXU matmuls (a Hillis-Steele
+    # lane scan was measured slower end to end — commit b7b7b3d; the
+    # round-5 blocking halves the tri MACs, see _cumsum_tri_blocked)
+    tri_b = _tri_block()
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, KC), 1)
-
-    # [R·P, 1] per-row segment windows (tile r occupies rows r·P..(r+1)·P).
-    # Broadcast each scalar to its own [P, 1] block — Mosaic cannot lower a
-    # reshape of a length-R scalar vector into a 3-D vector layout.
-    def stack_scalar(vals, dtype):
-        return jnp.concatenate(
-            [jnp.broadcast_to(v.astype(dtype), (p, 1)) for v in vals], axis=0)
-
-    lead_col = stack_scalar(leads, jnp.int32)
-    total_col = stack_scalar(totals, jnp.int32)
+    log_cut = float(math.log(alpha_cutoff))
 
     if packed:
         def dmas(slot, r, c):
@@ -307,38 +345,36 @@ def _kernel(
 
         # Gaussian falloff as one MXU matmul per tile: power(px,py) is
         # quadratic in the pixel coordinates, so power = U[P,8] @ V[8,KC]
-        # with V = [-(½A mx²+B mx my+½C my²); A mx+B my; C my+B mx; -½A;
-        # -½C; -B]; the R results stack along sublanes → [R·P, KC]
+        # with V = [log(op) − (½A mx²+B mx my+½C my²); A mx+B my;
+        # C my+B mx; -½A; -½C; -B]; the R results stack → [R·P, KC].
+        # log(opacity) AND the segment-window mask are folded into the
+        # constant row (round-5 VPU cut): alpha = exp(power) directly, the
+        # 1/255 cutoff becomes a compare on power, and the [R·P, KC] op
+        # broadcast + the two [R·P, KC] window compares vanish — all the
+        # masking work is [1, KC] per tile.
         powers = []
         f4s = []
-        op_rows = []
+        g = c * KC + lane                                 # [1, KC]
         for r in range(R):
             if packed:
-                slab = slab6_ref[c % 2, r]            # [6, KC] u32
-                mx = _bitcast_f32(slab[0:1, :]) - txs[r]
-                my = _bitcast_f32(slab[1:2, :]) - tys[r]
-                ca = _unpack_hi(slab[2:3, :])
-                cb = _unpack_lo(slab[2:3, :])
-                cc = _unpack_hi(slab[3:4, :])
-                op_rows.append(_unpack_lo(slab[3:4, :]))
-                rgb_rows = jnp.concatenate([
-                    _unpack_hi(slab[4:5, :]),
-                    _unpack_lo(slab[4:5, :]),
-                    _unpack_hi(slab[5:6, :]),
-                ], axis=0)                            # [3, KC]
+                slab = slab6_ref[c % 2, r]            # [8, KC] u32
+                op4 = None
             else:
                 slab = slab8_ref[c % 2, r]            # [8, KC]
-                mx = slab[0:1, :] - txs[r]            # tile-local center
-                my = slab[1:2, :] - tys[r]
-                ca = slab[2:3, :]
-                cb = slab[3:4, :]
-                cc = slab[4:5, :]
-                op_rows.append(slab4_ref[c % 2, r][0:1, :])
-                rgb_rows = slab[5:8, :]
+                op4 = slab4_ref[c % 2, r][0:1, :]
+            mx, my, ca, cb, cc, rgb_rows, op_row = _decode_slab(
+                slab, op4, packed, mean16, txs[r], tys[r])
+            # [1, KC] window + log-opacity constant row (lanes outside the
+            # [lead, lead+count) segment get LOG_PAD → alpha 0; this also
+            # masks chunks past a short tile's segment while the group
+            # runs to the group max)
+            win = jnp.logical_and(g >= leads[r], g < totals[r])
+            row0 = jnp.where(
+                win, jnp.log(jnp.maximum(op_row, 1e-30)), LOG_PAD)
             v_mat = jnp.concatenate(
                 [
-                    -(0.5 * ca * mx * mx + cb * mx * my
-                      + 0.5 * cc * my * my),
+                    row0 - (0.5 * ca * mx * mx + cb * mx * my
+                            + 0.5 * cc * my * my),
                     ca * mx + cb * my,
                     cc * my + cb * mx,
                     -0.5 * ca,
@@ -354,22 +390,13 @@ def _kernel(
                 [rgb_rows, jnp.ones((1, KC), jnp.float32)], axis=0
             ))                             # rows (r, g, b, 1)
         power = jnp.concatenate(powers, axis=0)          # [R·P, KC]
-        op = jnp.concatenate(
-            [jnp.broadcast_to(op_rows[r], (p, KC)) for r in range(R)],
-            axis=0)                                      # [R·P, KC]
 
-        power = jnp.minimum(power, 0.0)
-        alpha = jnp.minimum(op * jnp.exp(power), alpha_max)
-        alpha = jnp.where(alpha < alpha_cutoff, 0.0, alpha)
-        # lanes outside each tile's [lead, lead+count) segment window
-        # contribute nothing — this also masks chunks past a short tile's
-        # segment while the group runs to the group max
-        g = c * KC + lane                                # [1, KC]
         alpha = jnp.where(
-            jnp.logical_and(g >= lead_col, g < total_col), alpha, 0.0)
+            power >= log_cut,
+            jnp.minimum(jnp.exp(power), alpha_max), 0.0)
 
         log1m = jnp.log1p(-alpha)
-        cum = _dot_bf16x2(log1m, tri)                    # [R·P, KC]
+        cum = _cumsum_tri_blocked(log1m, tri_b)          # [R·P, KC]
         log_t_incl = carry + cum          # monotone ↓ along lanes
         t_excl = jnp.exp(log_t_incl - log1m)
         w = jnp.where(log_t_incl < log_eps, 0.0, alpha * t_excl)
@@ -423,7 +450,7 @@ def _kernel(
 
 def _sorted_fields_t(
     splats: ProjectedSplats, bins: TileBins, k_cap: int,
-    quantize: bool = False,
+    quantize: bool = False, mean16: tuple | None = None,
 ) -> tuple[jnp.ndarray, ...]:
     """Field-major sorted splat arrays for slab DMA: a 1-tuple
     ([6, M+pad] u32 — bitcast mx, my + 4 bf16-pair packs) when the bins
@@ -443,16 +470,20 @@ def _sorted_fields_t(
         # row-concat to plain copies while pad+stack relayouts
         m = bins.sorted_fields[0].shape[0]
         zrow = jnp.zeros((1, pad), jnp.uint32)
-        rows = [jax.lax.bitcast_convert_type(bins.sorted_fields[0],
-                                             jnp.uint32),
-                jax.lax.bitcast_convert_type(bins.sorted_fields[1],
-                                             jnp.uint32)]
-        rows += list(bins.sorted_fields[2:6])
-        # 8 rows (6 used + 2 zero): Mosaic requires DMA slice leading dims
-        # aligned to the (8, 128) sublane tiling
+        if bins.mean_packed:
+            # 5 u32 payload rows: mxy u16-pair, then the 4 bf16 packs
+            rows = list(bins.sorted_fields[:5])
+        else:
+            rows = [jax.lax.bitcast_convert_type(bins.sorted_fields[0],
+                                                 jnp.uint32),
+                    jax.lax.bitcast_convert_type(bins.sorted_fields[1],
+                                                 jnp.uint32)]
+            rows += list(bins.sorted_fields[2:6])
+        # pad rows to 8: Mosaic requires DMA slice leading dims aligned
+        # to the (8, 128) sublane tiling
         f6 = jnp.concatenate(
             [jnp.concatenate([r[None, :], zrow], axis=1) for r in rows]
-            + [jnp.zeros((2, m + pad), jnp.uint32)],
+            + [jnp.zeros((8 - len(rows), m + pad), jnp.uint32)],
             axis=0,
         )                                                     # [8, M+pad]
         return (f6,)
@@ -466,7 +497,8 @@ def _sorted_fields_t(
     from ..rasterize import pack_sorted_fields_split
 
     f8, f4 = pack_sorted_fields_split(
-        splats, bins, pad=k_cap + KC, quantize=quantize)
+        splats, bins, pad=k_cap + KC, quantize=quantize,
+        mean16=mean16 if quantize else None)
     return f8.T, f4.T
 
 
@@ -499,8 +531,9 @@ def composite_tiles_pallas(
         tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     grid_n = tile_ids.shape[0]
     if fields_t is None:
-        fields_t = _sorted_fields_t(splats, bins, k_cap,
-                                    quantize=config.pack_fields)
+        fields_t = _sorted_fields_t(
+            splats, bins, k_cap, quantize=config.pack_fields,
+            mean16=((gx, ts) if config.pack_mean16 else None))
 
     # R tiles per grid step; pad the tile list with the sentinel id
     # num_tiles, whose start/count lookup row is 0 (empty segment) — padding
@@ -529,6 +562,7 @@ def composite_tiles_pallas(
         log_eps=float(math.log(config.transmittance_eps)),
         r_tiles=r,
         packed=packed,
+        mean16=packed and bins.mean_packed,
         early_exit=config.early_exit,
     )
     if packed:

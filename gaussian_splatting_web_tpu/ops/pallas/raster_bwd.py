@@ -51,8 +51,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...config import RenderConfig
 from .raster import (
-    F_PAD, KC, _bitcast_f32, _dot_bf16x2, _dot_exact_bf16x3,
-    _dot_general_bf16x3, _unpack_hi, _unpack_lo,
+    F_PAD, KB, KC, LOG_PAD, _cumsum_tri_blocked, _decode_slab,
+    _dot_exact_bf16x3, _dot_general_bf16x3, _suffix_tri_blocked,
+    _tri_block,
 )
 
 # Tiles per backward grid step now lives in RenderConfig.r_tiles_bwd (a
@@ -87,6 +88,7 @@ def _bwd_kernel(
     log_eps: float,
     r_tiles: int,
     packed: bool,
+    mean16: bool,
 ):
     if packed:
         (f6_hbm, fin_ref, cot_ref, dzero_hbm, dpairs_hbm, slab6_ref,
@@ -137,24 +139,13 @@ def _bwd_kernel(
         axis=1,
     )                                   # [P, 8]
 
-    tri = (
-        jax.lax.broadcasted_iota(jnp.int32, (KC, KC), 0)
-        <= jax.lax.broadcasted_iota(jnp.int32, (KC, KC), 1)
-    ).astype(jnp.float32)
-    tri_strict_low = (
-        jax.lax.broadcasted_iota(jnp.int32, (KC, KC), 0)
-        > jax.lax.broadcasted_iota(jnp.int32, (KC, KC), 1)
+    tri_b = _tri_block()
+    tsl_b = (
+        jax.lax.broadcasted_iota(jnp.int32, (KB, KB), 0)
+        > jax.lax.broadcasted_iota(jnp.int32, (KB, KB), 1)
     ).astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, KC), 1)
-
-    def stack_scalar(vals, dtype):
-        # broadcast each scalar to its own [P, 1] block (Mosaic cannot
-        # lower a reshape of a length-R scalar vector to a 3-D layout)
-        return jnp.concatenate(
-            [jnp.broadcast_to(v.astype(dtype), (p, 1)) for v in vals], axis=0)
-
-    lead_col = stack_scalar(leads, jnp.int32)
-    total_col = stack_scalar(totals, jnp.int32)
+    log_cut = float(math.log(alpha_cutoff))
 
     def c_of(r, i):
         """Chunk index of tile r at back-to-front step i (clamped; callers
@@ -213,30 +204,14 @@ def _bwd_kernel(
 
     def read_slab(s, r):
         """(mx, my, ca, cb, cc, rgb_rows [3, KC], op_row [1, KC]) from the
-        resident slab, decoding the bf16-pair packing when packed."""
+        resident slab, decoding the packing (raster._decode_slab)."""
         if packed:
-            slab = slab6_ref[s, r]                    # [6, KC] u32
-            mx = _bitcast_f32(slab[0:1, :]) - txs[r]
-            my = _bitcast_f32(slab[1:2, :]) - tys[r]
-            ca = _unpack_hi(slab[2:3, :])
-            cb = _unpack_lo(slab[2:3, :])
-            cc = _unpack_hi(slab[3:4, :])
-            op_row = _unpack_lo(slab[3:4, :])
-            rgb_rows = jnp.concatenate([
-                _unpack_hi(slab[4:5, :]),
-                _unpack_lo(slab[4:5, :]),
-                _unpack_hi(slab[5:6, :]),
-            ], axis=0)
+            slab = slab6_ref[s, r]                    # [8, KC] u32
+            op4 = None
         else:
             slab = slab8_ref[s, r]                    # [8, KC]
-            mx = slab[0:1, :] - txs[r]
-            my = slab[1:2, :] - tys[r]
-            ca = slab[2:3, :]
-            cb = slab[3:4, :]
-            cc = slab[4:5, :]
-            op_row = slab4_ref[s, r][0:1, :]
-            rgb_rows = slab[5:8, :]
-        return mx, my, ca, cb, cc, rgb_rows, op_row
+            op4 = slab4_ref[s, r][0:1, :]
+        return _decode_slab(slab, op4, packed, mean16, txs[r], tys[r])
 
     for r in range(R):
         # zero the per-tile gradient accumulator (lanes outside the
@@ -270,12 +245,12 @@ def _bwd_kernel(
                     d.start()
 
         # alpha recompute: same rank-6 bilinear form as the forward kernel
-        powers, f4s, gcols = [], [], []
+        # (log-opacity + segment window + active flag folded into the
+        # constant row — alpha = exp(power), cutoff = compare on power)
+        powers, f4s = [], []
         op_rows = []
-        active_flags = []
         for r in range(R):
             active = i < useful_r[r]
-            active_flags.append(active)
             c = c_of(r, i)
 
             @pl.when(active)
@@ -285,10 +260,15 @@ def _bwd_kernel(
 
             mx, my, ca, cb, cc, rgb_rows, op_row = read_slab(s, r)
             op_rows.append(op_row)
+            gcol = c * KC + lane                           # [1, KC]
+            win = jnp.logical_and(gcol >= leads[r], gcol < totals[r])
+            win = jnp.logical_and(win, active)
+            row0 = jnp.where(
+                win, jnp.log(jnp.maximum(op_row, 1e-30)), LOG_PAD)
             v_mat = jnp.concatenate(
                 [
-                    -(0.5 * ca * mx * mx + cb * mx * my
-                      + 0.5 * cc * my * my),
+                    row0 - (0.5 * ca * mx * mx + cb * mx * my
+                            + 0.5 * cc * my * my),
                     ca * mx + cb * my,
                     cc * my + cb * mx,
                     -0.5 * ca,
@@ -302,33 +282,18 @@ def _bwd_kernel(
             f4s.append(jnp.concatenate(
                 [rgb_rows, jnp.ones((1, KC), jnp.float32)], axis=0
             ))
-            gcols.append(c * KC + lane)
 
-        raw_power = jnp.concatenate(powers, axis=0)        # [R·P, KC]
-        op = jnp.concatenate(
-            [jnp.broadcast_to(op_rows[r], (p, KC))
-             for r in range(R)], axis=0)
-        g_idx = jnp.concatenate(
-            [jnp.broadcast_to(gcols[r], (p, KC)) for r in range(R)], axis=0)
-        active_col = stack_scalar(
-            [jnp.where(a, 1, 0) for a in active_flags], jnp.int32) > 0
-
-        power = jnp.minimum(raw_power, 0.0)
-        e_pow = jnp.exp(power)
-        a_pre = op * e_pow
-        alpha = jnp.minimum(a_pre, alpha_max)
-        cut = alpha < alpha_cutoff
-        window = jnp.logical_and(g_idx >= lead_col, g_idx < total_col)
-        window = jnp.logical_and(window, active_col)
-        dead = jnp.logical_or(cut, jnp.logical_not(window))
-        alpha = jnp.where(dead, 0.0, alpha)
+        power = jnp.concatenate(powers, axis=0)            # [R·P, KC]
+        a_raw = jnp.exp(power)        # 0 for masked lanes (exp underflow)
+        live = power >= log_cut
+        alpha = jnp.where(live, jnp.minimum(a_raw, alpha_max), 0.0)
 
         log1m = jnp.log1p(-alpha)
-        # tri matmul, NOT a lane-roll scan: a Hillis-Steele pltpu.roll
-        # scan was measured SLOWER end to end (fwd+bwd 133.7 vs 118.9 ms
-        # at the 1M bench) — the 8 roll+mask+add passes cost more than
-        # two bf16 MXU passes that overlap the VPU work anyway
-        cum = _dot_bf16x2(log1m, tri)
+        # blocked tri matmuls, NOT a lane-roll scan: a Hillis-Steele
+        # pltpu.roll scan was measured SLOWER end to end (fwd+bwd 133.7 vs
+        # 118.9 ms at the 1M bench) — the roll+mask+add passes cost more
+        # than bf16 MXU passes that overlap the VPU work anyway
+        cum = _cumsum_tri_blocked(log1m, tri_b)
         # reconstruct this chunk's starting carry from the end-of-chunk
         # carry: carry_start = carry_end − Σ_lanes log(1-α). Inactive rows
         # have alpha ≡ 0 → column sum 0 → carry unchanged.
@@ -351,24 +316,26 @@ def _bwd_kernel(
             axis=0,
         )                                  # [R·P, KC]
         rw = rr * w
-        suffix = _dot_bf16x2(rw, tri_strict_low)
+        suffix = _suffix_tri_blocked(rw, tsl_b)
         s_k = s_carry + suffix
 
         dalpha = jnp.where(
-            jnp.logical_and(contrib, jnp.logical_not(dead)),
+            jnp.logical_and(contrib, live),
             t_excl * rr - s_k / (1.0 - alpha),
             0.0,
         )
-        # chain through the alpha_max clamp and the 1/255 cutoff
-        da_pre = jnp.where(a_pre > alpha_max, 0.0, dalpha)
-        dpow_u = da_pre * a_pre
-        dpow = jnp.where(raw_power > 0.0, 0.0, dpow_u)
+        # chain through the alpha_max clamp and the 1/255 cutoff; with
+        # alpha = exp(power + log op), d power = dalpha·a_raw and
+        # d op = Σ_p (dalpha·a_raw) / op (per-lane division, [1, KC])
+        da_raw = jnp.where(a_raw > alpha_max, 0.0, dalpha)
+        dpow = da_raw * a_raw
 
         for r in range(R):
             rows = slice(r * p, (r + 1) * p)
             mx, my, ca, cb, cc, _, _ = read_slab(s, r)
 
-            d_op = jnp.sum(da_pre[rows] * e_pow[rows], axis=0, keepdims=True)
+            d_op = (jnp.sum(dpow[rows], axis=0, keepdims=True)
+                    / jnp.maximum(op_rows[r], 1e-30))
 
             # geometry gradients from pixel-coordinate moments of dpow
             # (MXU): Mom = Uᵀ dpow → rows [Σdpow, Σdpow·px, Σdpow·py,
@@ -536,6 +503,7 @@ def backward_pair_grads(
         log_eps=float(math.log(config.transmittance_eps)),
         r_tiles=r,
         packed=packed,
+        mean16=packed and config.pack_mean16,
     )
     if packed:
         slab_scratch = [pltpu.VMEM((2, r, 8, KC), jnp.uint32)]

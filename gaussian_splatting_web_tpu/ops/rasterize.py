@@ -27,6 +27,7 @@ friendly implementation and the ground truth for it.
 
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import Dict, Tuple
 
@@ -43,9 +44,35 @@ NUM_FIELDS = 9   # mx, my, conic_a, conic_b, conic_c, r, g, b, opacity
 FIELD_ROW = 16   # row width the fields are padded to before the gather
 
 
+def _pair_tiles(bins: TileBins, m: int) -> jnp.ndarray:
+    """Tile id owning each position of the sorted pair array (positions
+    past the last segment return the last tile — dead padding). Used by
+    the gather fallbacks to apply the tile-relative mean16 quantization
+    the payload path bakes in at pack time."""
+    pos = jnp.arange(m, dtype=bins.tile_start.dtype)
+    ti = jnp.searchsorted(bins.tile_start, pos, side="right").astype(
+        jnp.int32) - 1
+    return jnp.clip(ti, 0, None)
+
+
+def _quantize_mean16_global(mx, my, bins: TileBins, gx: int, ts: int):
+    """Tile-relative mean16 round-trip expressed on GLOBAL coordinates:
+    rel_q + tile_origin is exact in f32 (both multiples of 1/32 below
+    2^17·1/32), so the kernel's later origin subtract recovers rel_q
+    bit-exactly and the XLA compositor's quantize_mean16 re-application
+    is the identity."""
+    from .sort import quantize_mean16
+
+    ti = _pair_tiles(bins, mx.shape[0])
+    tx = (ti % gx).astype(jnp.float32) * ts
+    ty = (ti // gx).astype(jnp.float32) * ts
+    return (quantize_mean16(mx - tx) + tx,
+            quantize_mean16(my - ty) + ty)
+
+
 def pack_sorted_fields(
     splats: ProjectedSplats, bins: TileBins, pad: int,
-    quantize: bool = False,
+    quantize: bool = False, mean16: tuple | None = None,
 ) -> jnp.ndarray:
     """Gather splat appearance fields into (tile, depth)-sorted pair order.
 
@@ -82,6 +109,12 @@ def pack_sorted_fields(
         axis=-1,
     )                                                        # [N, 16]
     sorted_fields = packed[bins.sorted_gidx]                 # [M, 16]
+    if mean16 is not None:
+        gx, ts = mean16
+        qx, qy = _quantize_mean16_global(
+            sorted_fields[:, 0], sorted_fields[:, 1], bins, gx, ts)
+        sorted_fields = jnp.concatenate(
+            [qx[:, None], qy[:, None], sorted_fields[:, 2:]], axis=1)
     return jnp.concatenate(
         [sorted_fields, jnp.zeros((pad, FIELD_ROW), sorted_fields.dtype)]
     )
@@ -89,7 +122,7 @@ def pack_sorted_fields(
 
 def pack_sorted_fields_split(
     splats: ProjectedSplats, bins: TileBins, pad: int,
-    quantize: bool = False,
+    quantize: bool = False, mean16: tuple | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Gather splat fields into pair order as TWO narrow row arrays:
     [M+pad, 8] = (mx, my, conic_a, conic_b, conic_c, r, g, b) and
@@ -123,6 +156,10 @@ def pack_sorted_fields_split(
     p4 = jnp.stack([q(splats.opacity), z, z, z], axis=-1)
     s8 = p8[bins.sorted_gidx]
     s4 = p4[bins.sorted_gidx]
+    if mean16 is not None:
+        gx, ts = mean16
+        qx, qy = _quantize_mean16_global(s8[:, 0], s8[:, 1], bins, gx, ts)
+        s8 = jnp.concatenate([qx[:, None], qy[:, None], s8[:, 2:]], axis=1)
     return (
         jnp.concatenate([s8, jnp.zeros((pad, 8), s8.dtype)]),
         jnp.concatenate([s4, jnp.zeros((pad, 4), s4.dtype)]),
@@ -194,10 +231,26 @@ def _composite_chunk(
 
     mxl = mean[..., 0] - tx[:, None]                        # [C, K] local
     myl = mean[..., 1] - ty[:, None]
+    if config.pack_fields and config.pack_mean16:
+        # identical to the packed payload path's tile-relative u16
+        # round-trip (ops.sort.pack_mean16_rel; straight-through grad)
+        from .sort import quantize_mean16
+
+        mxl = quantize_mean16(mxl)
+        myl = quantize_mean16(myl)
     ca, cb, cc = conic[..., 0], conic[..., 1], conic[..., 2]
+    # log(opacity) + the liveness mask fold into the constant row, exactly
+    # as in the fused kernel (ops/pallas/raster.py chunk_body): alpha =
+    # exp(power) directly and the 1/255 cutoff (:191-193) becomes a
+    # compare on power. LOG_PAD (finite) kills dead slots via the cutoff.
+    from .pallas.raster import LOG_PAD
+
+    row0_extra = jnp.where(
+        live, jnp.log(jnp.maximum(opac, 1e-30)), LOG_PAD)   # [C, K]
     v_mat = jnp.stack(
         [
-            -(0.5 * ca * mxl * mxl + cb * mxl * myl + 0.5 * cc * myl * myl),
+            row0_extra
+            - (0.5 * ca * mxl * mxl + cb * mxl * myl + 0.5 * cc * myl * myl),
             ca * mxl + cb * myl,
             cc * myl + cb * mxl,
             -0.5 * ca,
@@ -213,10 +266,9 @@ def _composite_chunk(
     power = jnp.einsum("pb,ckb->ckp", u_mat, v_mat,
                        preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)  # [C, K, P]
-    power = jnp.minimum(power, 0.0)
-    alpha = jnp.minimum(opac[..., None] * jnp.exp(power), config.alpha_max)
-    alpha = jnp.where(alpha < config.alpha_cutoff, 0.0, alpha)  # :191-193
-    alpha = jnp.where(live[..., None], alpha, 0.0)
+    alpha = jnp.where(
+        power >= math.log(config.alpha_cutoff),
+        jnp.minimum(jnp.exp(power), config.alpha_max), 0.0)
 
     # transmittance via exclusive cumsum of log(1-α)
     log1m = jnp.log1p(-alpha)
@@ -258,7 +310,9 @@ def composite_tiles(
 
     sorted_fields = pack_sorted_fields(
         splats, bins, pad=config.max_per_tile,
-        quantize=config.pack_fields)
+        quantize=config.pack_fields,
+        mean16=((gx, config.tile_size)
+                if config.pack_fields and config.pack_mean16 else None))
     body = jax.checkpoint(
         partial(
             _composite_chunk,

@@ -107,6 +107,11 @@ class TileBins:
     comp_widths: tuple = ()
     pair_cap: int = 0
     fields_packed: bool = False
+    # round 5 (config.pack_mean16): mean2d rides the sort as ONE u32 of
+    # tile-relative 1/32-px fixed point instead of two f32 payloads —
+    # sorted_fields is then the 5-tuple (mxy u16-pair, ca|cb, cc|op, r|g,
+    # b|0); each payload dropped saves ~3.9 ms at the 1M bench
+    mean_packed: bool = False
 
 
 jax.tree_util.register_dataclass(
@@ -115,7 +120,7 @@ jax.tree_util.register_dataclass(
                  "overflow", "sorted_slot", "comp_idx", "comp_perm",
                  "comp_offsets", "sorted_fields"],
     meta_fields=["tier_a_width", "comp_widths", "pair_cap",
-                 "fields_packed"],
+                 "fields_packed", "mean_packed"],
 )
 
 
@@ -155,6 +160,51 @@ def quantize_bf16(x: jnp.ndarray) -> jnp.ndarray:
 def _quantize_bf16_jvp(primals, tangents):
     (x,), (t,) = primals, tangents
     return quantize_bf16(x), t
+
+
+# --- tile-relative mean2d packing (config.pack_mean16) -------------------
+# The fused kernel works in tile-LOCAL pixel coordinates anyway
+# (raster.py chunk_body subtracts the tile origin), so the mean2d payload
+# can be stored tile-relative, where 16-bit fixed point at 1/32 px covers
+# [-1024, +1024) px — max quantization error 1/64 px, flat. Splats binned
+# to a tile farther than 1024 px from their center clamp (only possible
+# for radius > 1024 px monsters, which the max_dup footprint cap already
+# truncates to a fraction of their tiles). Both compositor paths quantize
+# identically, so parity is unaffected.
+MEAN16_SCALE = 32.0
+MEAN16_OFF = 1024.0
+
+
+def _quant_mean16(rel: jnp.ndarray) -> jnp.ndarray:
+    return jnp.clip(
+        jnp.round((rel + MEAN16_OFF) * MEAN16_SCALE), 0.0, 65535.0
+    ).astype(jnp.uint32)
+
+
+def pack_mean16_rel(mx, my, tile, gx: int, ts: int) -> jnp.ndarray:
+    """Pack per-slot tile-relative mean2d into one u32 (x low 16, y high).
+
+    mx/my are per-splat [R] f32 columns, tile the [d, R] slot→tile grid
+    (sentinel ids produce dead values masked by the segment window)."""
+    txs = (tile % gx).astype(jnp.float32) * ts
+    tys = (tile // gx).astype(jnp.float32) * ts
+    return _quant_mean16(mx[None, :] - txs) | (
+        _quant_mean16(my[None, :] - tys) << 16)
+
+
+@jax.custom_jvp
+def quantize_mean16(rel: jnp.ndarray) -> jnp.ndarray:
+    """The round-trip the packed mean2d payload applies to a tile-relative
+    coordinate; the XLA compositor calls this so both paths see identical
+    centers (straight-through gradient, like quantize_bf16)."""
+    q = jnp.clip(jnp.round((rel + MEAN16_OFF) * MEAN16_SCALE), 0.0, 65535.0)
+    return q * (1.0 / MEAN16_SCALE) - MEAN16_OFF
+
+
+@quantize_mean16.defjvp
+def _quantize_mean16_jvp(primals, tangents):
+    (x,), (t,) = primals, tangents
+    return quantize_mean16(x), t
 
 
 def float_to_sortable_uint(f: jnp.ndarray) -> jnp.ndarray:
@@ -454,8 +504,10 @@ def bin_splats(
     if carry_fields and config.pack_fields:
         # bf16-pack the 7 precision-tolerant fields into u32 pairs at the
         # per-splat level (N elements, before the N×d broadcast): 4 packed
-        # payload arrays instead of 7 f32 ones. mean2d stays f32 (subpixel
-        # placement of σ≈0.5 px splats needs more than 8 mantissa bits).
+        # payload arrays instead of 7 f32 ones. mean2d stays f32 here
+        # (subpixel placement of σ≈0.5 px splats needs more than 8
+        # mantissa bits); with config.pack_mean16 it packs per-SLOT as
+        # tile-relative u16 fixed point instead (see tier_payloads below).
         z = jnp.zeros_like(splats.opacity)
         field_cols = (
             splats.mean2d[:, 0],
@@ -473,6 +525,27 @@ def bin_splats(
             splats.opacity)
     else:
         field_cols = ()
+
+    pack_mean = (carry_fields and config.pack_fields
+                 and config.pack_mean16)
+
+    def tier_payloads(cols, tile_arr):
+        """Per-tier flat payload arrays from per-splat columns `cols`
+        (field_cols order) and the tier's [d, R] slot→tile grid. With
+        pack_mean the two f32 mean columns become ONE per-slot u32 of
+        tile-relative 1/32-px fixed point (pack_mean16_rel)."""
+        if not cols:
+            return []
+        if pack_mean:
+            mean_p = [pack_mean16_rel(cols[0], cols[1], tile_arr, gx, ts
+                                      ).reshape(-1)]
+            rest = cols[2:]
+        else:
+            mean_p = []
+            rest = cols
+        return mean_p + [
+            jnp.broadcast_to(f[None, :], tile_arr.shape).reshape(-1)
+            for f in rest]
 
     d_a = min(config.tier_split, d) if config.tier_split > 0 else d
     if d_a < d:
@@ -496,10 +569,7 @@ def bin_splats(
             jnp.arange(n, dtype=jnp.int32)[None, :], (d_a, n)
         )
         tiers = [(tile_a, live_a, gidx_a, splats.depth)]
-        payload_parts = [
-            [jnp.broadcast_to(f[None, :], (d_a, n)).reshape(-1)]
-            for f in field_cols
-        ]
+        payload_parts = [[p] for p in tier_payloads(field_cols, tile_a)]
         overflow = jnp.sum((ntg_full > d).astype(jnp.int32))
         num_pairs = jnp.sum(live_a.astype(jnp.int32))
 
@@ -582,10 +652,9 @@ def bin_splats(
             )
             gidx_j = jnp.broadcast_to(idx_j[None, :], (w_j, cap_j))
             tiers.append((tile_j, live_j, gidx_j, depth_j))
-            for part, f in zip(payload_parts, fields_j):
-                part.append(
-                    jnp.broadcast_to(f[None, :],
-                                     (w_j, cap_j)).reshape(-1))
+            for part, pj in zip(payload_parts,
+                                tier_payloads(fields_j, tile_j)):
+                part.append(pj)
             overflow = overflow + jnp.maximum(n_sel - cap_j, 0)
             num_pairs = num_pairs + jnp.sum(live_j.astype(jnp.int32))
             comp_idx.append(idx_j)
@@ -608,10 +677,7 @@ def bin_splats(
         overflow = jnp.sum((ntg_full > d).astype(jnp.int32))
         num_pairs = jnp.sum(live.astype(jnp.int32))
         tiers = [(tile_id, live, gidx, splats.depth)]
-        field_payloads = tuple(
-            jnp.broadcast_to(f[None, :], (d, n)).reshape(-1)
-            for f in field_cols
-        )
+        field_payloads = tuple(tier_payloads(field_cols, tile_id))
         tier_a_width = d
         comp_idx = ()
         comp_widths = ()
@@ -638,4 +704,5 @@ def bin_splats(
         comp_widths=comp_widths,
         pair_cap=pair_cap,
         fields_packed=carry_fields and config.pack_fields,
+        mean_packed=pack_mean,
     )

@@ -135,7 +135,10 @@ def test_bin_splats_carry_fields_matches_gather():
         assert b.sorted_gidx is None
         assert b.fields_packed == pack
         assert b.sorted_fields is not None
-        assert len(b.sorted_fields) == (6 if pack else 9)
+        # packed default also packs mean2d tile-relative (pack_mean16):
+        # 5 payloads; exact mode keeps the 9 f32 arrays
+        assert len(b.sorted_fields) == (5 if pack else 9)
+        assert b.mean_packed == pack
         bfq = (lambda x: np.asarray(jnp.asarray(x).astype(jnp.bfloat16)
                                     .astype(jnp.float32)))
         cols = np.stack(
@@ -155,16 +158,39 @@ def test_bin_splats_carry_fields_matches_gather():
         want = cols[gidx]                       # [M, 9]
         if pack:
             fs = b.sorted_fields
-            rows = [np.asarray(fs[0]), np.asarray(fs[1])]
-            for u in fs[2:]:
+            # mean payload: u16-pair tile-relative 1/32-px fixed point —
+            # decode with each pair's tile and compare against the
+            # quantized expected coordinates
+            gx = cfg.grid_size(w, h)[0]
+            ts = cfg.tile_size
+            pair_tile = np.zeros(gidx.shape[0], np.int64)
+            for t in range(start.shape[0]):
+                pair_tile[start[t]:start[t] + count[t]] = t
+            u0 = np.asarray(fs[0]).astype(np.uint32)
+            got_mx = (u0 & 0xFFFF).astype(np.float32) / 32.0 - 1024.0
+            got_my = (u0 >> 16).astype(np.float32) / 32.0 - 1024.0
+            tx = (pair_tile % gx).astype(np.float32) * ts
+            ty = (pair_tile // gx).astype(np.float32) * ts
+            q16 = lambda rel: np.clip(
+                np.round((rel + 1024.0) * 32.0), 0, 65535
+            ).astype(np.float32) / 32.0 - 1024.0
+            np.testing.assert_array_equal(
+                got_mx[live],
+                q16(want[:, 0].astype(np.float32) - tx)[live])
+            np.testing.assert_array_equal(
+                got_my[live],
+                q16(want[:, 1].astype(np.float32) - ty)[live])
+            rows = []
+            for u in fs[1:]:
                 hi, lo = unpack_bf16_pair(u)
                 rows += [np.asarray(hi), np.asarray(lo)]
-            got = np.stack(rows[:9], axis=1)
-            # packed order: mx, my, ca, cb, cc|op, r|g, b — reorder to cols
-            got = got[:, [0, 1, 2, 3, 4, 6, 7, 8, 5]]
+            got = np.stack(rows[:7], axis=1)
+            # packed order: ca, cb, cc|op, r|g, b — reorder to cols[2:]
+            got = got[:, [0, 1, 2, 4, 5, 6, 3]]
+            np.testing.assert_array_equal(got[live], want[live][:, 2:])
         else:
             got = np.stack([np.asarray(f) for f in b.sorted_fields], axis=1)
-        np.testing.assert_array_equal(got[live], want[live])
+            np.testing.assert_array_equal(got[live], want[live])
 
 
 def test_subset_kernel_matches_composite_tiles():
