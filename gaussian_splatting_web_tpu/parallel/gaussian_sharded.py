@@ -18,15 +18,19 @@ around the ring and accumulate at each shard's home device, which is
 exactly the gradient reduce-scatter the sharded optimizer needs — no
 explicit `psum` over 'tile' for parameter gradients.
 
-Honest scaling notes (round 2):
+Honest scaling notes:
   * compositing compute is sharded by tile ownership (strided deal, the
-    static load balancer), projection by gaussian ownership;
-  * the binning SORT still runs over the full N·d slot array on every
-    device — pair-level streaming through the ring (sorting only owned
-    tiles' pairs per hop) is the follow-up that makes the sort scale;
-  * transient render activations are O(N) per device; the O(N/S) win is
-    parameters + optimizer state, which is what bounds trainable scene
-    size (params + 2 Adam moments = 3× model memory).
+    static load balancer — or contiguous bands in the banded paths),
+    projection by gaussian ownership;
+  * round 2's full-N-per-device binning sort became the banded ring
+    (round 3: per-hop band filter, O(N·d/S) binning but O(N) compaction
+    sort work per device) and then the round-5 `banded_candidates_a2a`
+    (ONE class sort of the owned splats + one all_to_all: O(N/S)
+    selection AND O(N·d/S) binning per device — every render stage now
+    scales except the per-band tile compositing skew);
+  * transient render activations are O(N·d/S) per device on the banded
+    paths; parameters + optimizer state are N/S everywhere (params +
+    2 Adam moments = 3× model memory bounds trainable scene size).
 """
 
 from __future__ import annotations
@@ -250,6 +254,81 @@ def banded_candidates(splats_shard, width: int, height: int, s: int,
     return local_splats, jnp.sum(over)
 
 
+def banded_candidates_a2a(splats_shard, width: int, height: int, s: int,
+                          rows_per: int, cap_hop: int,
+                          config: RenderConfig, bmax: int | None = None):
+    """Pair-level streamed candidate selection (round 5, the follow-up the
+    module notes have promised since round 2): instead of walking all S
+    shards around the ring and re-compacting n_s rows per hop (O(N) sort
+    work per device per image — the 2.76× 'band' stage inflation in
+    SCALING_DECOMP.json), each device classifies its OWN splats by
+    destination band ONCE (a single stable sort of bmax·n_s elements,
+    O(N/S) per device, flat in S) and a single `all_to_all` delivers each
+    band's candidate block over ICI.
+
+    A splat's footprint rows [y0, y0+rh) touch bands b0..b1; each owned
+    splat gets `bmax` destination slots (bands past bmax are dropped and
+    COUNTED — exactness claims require overflow == 0, same contract as
+    cap_hop truncation). bmax defaults to min(s, 4): spanning 3+ bands
+    requires footprint height > rows_per tile rows.
+
+    Returns (local_splats [S·cap_hop], overflow) — same shape and
+    contract as banded_candidates. Differentiable: all_to_all transposes
+    to the reverse all_to_all, the row gather to a scatter-add."""
+    if bmax is None:
+        bmax = min(s, 4)
+    from ..ops.sort import _footprints
+
+    packed = _pack_splat_rows(splats_shard)        # [n_s, 16]
+    n_s = packed.shape[0]
+    x0, y0, rw, rh = _footprints(splats_shard, width, height, config)
+    del x0, rw
+    live = jnp.logical_and(splats_shard.valid, rh > 0)
+    b0 = jnp.clip(y0 // rows_per, 0, s - 1)
+    b1 = jnp.clip((y0 + rh - 1) // rows_per, 0, s - 1)
+    nb = jnp.where(live, b1 - b0 + 1, 0)           # bands touched
+
+    k = jnp.arange(bmax, dtype=b0.dtype)[:, None]  # [bmax, 1]
+    dest = b0[None, :] + k                         # [bmax, n_s]
+    slot_live = jnp.logical_and(k < nb[None, :], dest < s)
+    cls = jnp.where(slot_live, dest, s).astype(jnp.uint32).reshape(-1)
+    iota = jnp.arange(bmax * n_s, dtype=jnp.uint32)
+    if s < 15 and bmax * n_s < (1 << 28):
+        # one single-operand u32 sort: class in the top 4 bits, slot id
+        # below (half the sort cost of a key+payload pair; segment
+        # bounds come from searchsorted on the same key)
+        skey = jax.lax.sort((cls << 28) | iota)
+        sorted_slot = (skey & jnp.uint32((1 << 28) - 1)).astype(jnp.int32)
+        edges = jnp.searchsorted(
+            skey, jnp.arange(s + 1, dtype=jnp.uint32) << 28,
+            side="left").astype(jnp.int32)
+        start_b = edges[:-1]
+        cnt_b = edges[1:] - edges[:-1]              # [S]
+    else:
+        _, sorted_slot = jax.lax.sort(
+            (cls, iota.astype(jnp.int32)), num_keys=1)
+        cnt_b = jnp.sum(
+            (cls[None, :] == jnp.arange(s, dtype=jnp.uint32)[:, None])
+            .astype(jnp.int32), axis=1)            # [S]
+        start_b = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt_b)[:-1]])
+
+    idx_mat = start_b[:, None] + jnp.arange(cap_hop, dtype=jnp.int32)[None]
+    idx_mat = jnp.clip(idx_mat, 0, bmax * n_s - 1)     # [S, cap_hop]
+    slots = sorted_slot[idx_mat]                       # flat slot k·n_s+g
+    rows = packed[slots % n_s]                         # [S, cap_hop, 16]
+    valid_rows = (jnp.arange(cap_hop, dtype=jnp.int32)[None, :]
+                  < cnt_b[:, None])
+    send = jnp.where(valid_rows[..., None], rows, 0.0)
+
+    recv = jax.lax.all_to_all(
+        send, AXES.tile, split_axis=0, concat_axis=0, tiled=True)
+    local_splats = _unpack_splat_rows(recv.reshape(s * cap_hop, 16))
+    over = (jnp.sum(jnp.maximum(cnt_b - cap_hop, 0))
+            + jnp.sum(jnp.maximum(nb - bmax, 0)))
+    return local_splats, over
+
+
 def render_gaussian_sharded_banded(
     cloud: GaussianCloud,
     camera: CameraParams,
@@ -258,6 +337,7 @@ def render_gaussian_sharded_banded(
     mesh: Mesh,
     config: RenderConfig = RenderConfig(),
     cand_factor: float = 2.5,
+    stream: str = "a2a",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Gaussian-sharded forward render with RING-SHARDED BINNING — the
     round-2 follow-up (gaussian_sharded module notes): per ring hop each
@@ -309,7 +389,9 @@ def render_gaussian_sharded_banded(
         splats_shard = project_gaussians(
             cloud_shard, camera, width, height, config
         )
-        local_splats, over = banded_candidates(
+        select = (banded_candidates_a2a if stream == "a2a"
+                  else banded_candidates)
+        local_splats, over = select(
             splats_shard, width, height, s, rows_per, cap_hop, config)
         tiles = composite_tiles_auto(
             local_splats, my_tiles, width, height, config, gx,
@@ -338,6 +420,7 @@ def make_gaussian_sharded_train_step(
     banded: bool = False,
     cand_factor: float = 2.5,
     n_gaussians: Optional[int] = None,
+    stream: str = "a2a",
 ):
     """Sharded-parameter training step (BASELINE.md config 5).
 
@@ -388,7 +471,9 @@ def make_gaussian_sharded_train_step(
                 # cap_hop truncation drops splats (and their gradients)
                 # silently — surface the count so an undersized
                 # cand_factor is detectable during training (ADVICE r4)
-                splats, over = banded_candidates(
+                select = (banded_candidates_a2a if stream == "a2a"
+                          else banded_candidates)
+                splats, over = select(
                     splats_shard, width, height, n_tile, rows_per,
                     cap_hop, config)
             else:

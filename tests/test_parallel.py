@@ -397,3 +397,31 @@ def test_run_with_restarts_no_retry_deterministic():
     assert run_with_restarts(flaky_rpc, max_restarts=3,
                              backoff_s=0.0) == "ok"
     assert len(calls2) == 2
+
+
+def test_banded_a2a_matches_ring_stream():
+    """The round-5 all_to_all candidate delivery (one class sort of the
+    OWNED splats, O(N/S) per device) must render identically to the
+    legacy per-hop ring filter (O(N) compaction per device) — same
+    candidate SET per band, different order; depth_bits=0 makes the
+    compositor order-exact."""
+    from gaussian_splatting_web_tpu.parallel.gaussian_sharded import (
+        render_gaussian_sharded_banded,
+    )
+
+    cloud = make_random_cloud(4096, seed=7, sh_degree=0)
+    cfg = CFG.replace(tier_split=0, depth_bits=0)
+    w, h = 64, 128
+    camera = cam.default_camera(w, h, eye=(0, 0, -6), center=(0, 0, 0))
+    mesh = make_mesh(tile=4)
+
+    out = {}
+    for stream in ("ring", "a2a"):
+        rgb, alpha, over = jax.jit(
+            lambda c, stream=stream: render_gaussian_sharded_banded(
+                c, camera, w, h, mesh, cfg, cand_factor=2.5,
+                stream=stream)
+        )(cloud)
+        assert int(over) == 0, stream
+        out[stream] = np.asarray(rgb)
+    np.testing.assert_allclose(out["a2a"], out["ring"], atol=2e-5)

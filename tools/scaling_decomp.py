@@ -47,7 +47,8 @@ from gaussian_splatting_web_tpu.ops.rasterize import (  # noqa: E402
     composite_tiles, bin_splats,
 )
 from gaussian_splatting_web_tpu.parallel.gaussian_sharded import (  # noqa: E402
-    banded_cap_hop, banded_candidates, banded_tile_rows, ring_all_gather,
+    banded_cap_hop, banded_candidates, banded_candidates_a2a,
+    banded_tile_rows, ring_all_gather,
 )
 from gaussian_splatting_web_tpu.parallel.mesh import AXES, make_mesh  # noqa: E402
 from gaussian_splatting_web_tpu.parallel.render_sharded import (  # noqa: E402
@@ -101,6 +102,13 @@ def stage_times(s):
         return jax.lax.psum(
             jnp.sum(cands.depth) * 1e-30 + over * 0, AXES.tile)
 
+    def s_a2a(cloud_shard, camera):
+        sp = project_gaussians(cloud_shard, camera, W, H, CFG)
+        cands, over = banded_candidates_a2a(sp, W, H, s, rows_per,
+                                            cap_hop, CFG)
+        return jax.lax.psum(
+            jnp.sum(cands.depth) * 1e-30 + over * 0, AXES.tile)
+
     def s_bin_full(cloud_shard, camera):
         sp = project_gaussians(cloud_shard, camera, W, H, CFG)
         full = ring_all_gather(sp, AXES.tile, s)
@@ -123,6 +131,14 @@ def stage_times(s):
         tiles = composite_tiles(cands, bins, my_tiles, gx, CFG)
         return jax.lax.psum(jnp.sum(tiles) * 1e-30, AXES.tile)
 
+    def s_a2a_full(cloud_shard, camera, my_tiles):
+        sp = project_gaussians(cloud_shard, camera, W, H, CFG)
+        cands, _ = banded_candidates_a2a(sp, W, H, s, rows_per, cap_hop,
+                                         CFG)
+        bins = bin_splats(cands, W, H, CFG)
+        tiles = composite_tiles(cands, bins, my_tiles, gx, CFG)
+        return jax.lax.psum(jnp.sum(tiles) * 1e-30, AXES.tile)
+
     progs = {
         "project": smap(s_project, (P(AXES.tile), P())),
         "project+ring": smap(s_ring, (P(AXES.tile), P())),
@@ -131,6 +147,9 @@ def stage_times(s):
         "full_ring": smap(s_full, (P(AXES.tile), P(), P(AXES.tile))),
         "full_banded": smap(s_band_full,
                             (P(AXES.tile), P(), P(AXES.tile))),
+        "project+a2a": smap(s_a2a, (P(AXES.tile), P())),
+        "full_a2a": smap(s_a2a_full,
+                         (P(AXES.tile), P(), P(AXES.tile))),
     }
     times = {}
     for name, prog in progs.items():
@@ -154,7 +173,10 @@ def main():
             "tile compositing (owned tiles only). On shared host cores a "
             "stage with per-device work O(N/S) stays flat as S grows; "
             "O(N)-per-device stages inflate ~linearly — that inflation "
-            "is algorithmic duplication, not a mesh artifact."),
+            "is algorithmic duplication, not a mesh artifact. Round 5: "
+            "'+a2a' replaces the per-hop ring filter (O(N) compaction "
+            "sort work per device) with one class sort of the OWNED "
+            "splats + all_to_all delivery (O(N/S) per device)."),
         "stages_ms": {},
     }
     for s in (1, 2, 4, 8):

@@ -36,6 +36,15 @@ def main():
                     "densify active, jitted-step ms/it measured on device")
     ap.add_argument("--capacity", type=float, default=4.0,
                     help="arena capacity as a multiple of the initial N")
+    ap.add_argument("--reset-every", type=int, default=None,
+                    help="opacity_reset_every override (r4 default 10000 "
+                    "never fired within 4000 iters; INRIA uses 3000)")
+    ap.add_argument("--densify-until", type=int, default=None)
+    ap.add_argument("--save-ply", default=None,
+                    help="write the final model as an INRIA-layout PLY")
+    ap.add_argument("--diag", default=None,
+                    help="directory for diagnosis artifacts: heldout "
+                    "render, residual image, per-splat stats")
     ap.add_argument("--init", default="sfm", choices=("sfm", "random"),
                     help="'sfm': start from noise-jittered target points "
                     "with random appearance (the synthetic stand-in for "
@@ -157,8 +166,13 @@ def main():
     t0 = time.time()
     loop = TrainLoopConfig(
         iterations=args.iters,
-        densify_from=100, densify_until=args.iters - 100, densify_every=100,
-        opacity_reset_every=10_000, sh_upgrade_every=200,
+        densify_from=100,
+        densify_until=(args.densify_until if args.densify_until is not None
+                       else args.iters - 100),
+        densify_every=100,
+        opacity_reset_every=(args.reset_every if args.reset_every
+                             else 10_000),
+        sh_upgrade_every=200,
         capacity_factor=args.capacity, log_every=50,
         # view-space gradients are accumulated in INRIA's half-viewport
         # units (train_loop scales by W/2, H/2), so the canonical INRIA
@@ -213,6 +227,42 @@ def main():
     # PSNR of the init model for reference
     img0, _ = render(start.to_cloud(), held_out_cam, w, h, cfg)
     init_psnr = psnr(img0, held_out_img)
+
+    if args.save_ply:
+        from gaussian_splatting_web_tpu.io.ply import write_ply
+
+        write_ply(final.to_cloud(), args.save_ply)
+        print(f"wrote {args.save_ply}", file=sys.stderr)
+
+    if args.diag:
+        os.makedirs(args.diag, exist_ok=True)
+        from gaussian_splatting_web_tpu.utils.image import encode_png
+
+        img_h, _ = render(final.to_cloud(), held_out_cam, w, h, cfg)
+        resid = np.abs(np.asarray(img_h) - np.asarray(held_out_img))
+        for name, im in (("heldout_render", np.asarray(img_h)),
+                         ("heldout_target", np.asarray(held_out_img)),
+                         ("heldout_residual", resid / max(resid.max(),
+                                                          1e-6))):
+            with open(os.path.join(args.diag, name + ".png"), "wb") as f:
+                f.write(encode_png(np.clip(im, 0, 1)))
+        fc = final.to_cloud()
+        op = 1 / (1 + np.exp(-np.asarray(fc.opacity_logit)))
+        sc = np.exp(np.asarray(fc.log_scale))
+        diag = {
+            "residual_mean": float(resid.mean()),
+            "residual_p99": float(np.percentile(resid, 99)),
+            "opacity_hist": np.histogram(
+                op, bins=[0, .01, .05, .2, .5, .9, 1.0]
+            )[0].tolist(),
+            "scale_max_hist": np.histogram(
+                sc.max(1), bins=[0, .001, .01, .05, .2, 1., 10.]
+            )[0].tolist(),
+            "n_final": int(final.num_gaussians),
+        }
+        with open(os.path.join(args.diag, "diag.json"), "w") as f:
+            json.dump(diag, f, indent=1)
+        print("diag:", json.dumps(diag), file=sys.stderr)
 
     out = {
         "iters": args.iters,
