@@ -317,7 +317,17 @@ def train(
         if it % loop.log_every == 0:
             alive = int(jnp.sum(dstate.alive))
             if on_log is not None:
-                on_log(it, float(loss), alive)
+                # extended signature: callbacks that want to probe the
+                # live model (periodic eval, overflow stats) declare
+                # state/dstate keywords
+                import inspect
+
+                params_ = inspect.signature(on_log).parameters
+                if "state" in params_:
+                    on_log(it, float(loss), alive, state=state,
+                           dstate=dstate)
+                else:
+                    on_log(it, float(loss), alive)
             else:
                 print(
                     f"iter {it:6d}  loss {float(loss):.4f}  "

@@ -23,6 +23,10 @@ W, H = 64, 48
 def _cfg(packed, **kw):
     base = dict(max_dup=16, max_per_tile=256, tile_chunk=4, depth_bits=0,
                 pack_fields=packed, pack_grads=False,
+                # mean16 is a dup-binning sort-payload optimization; the
+                # anchor path carries mean2d unquantized, so compare
+                # against the unquantized oracle
+                pack_mean16=False,
                 gather_cap_factor=0.0, r_tiles=1, binning="anchor")
     base.update(kw)
     return RenderConfig(**base)

@@ -40,6 +40,12 @@ def main():
                     help="opacity_reset_every override (r4 default 10000 "
                     "never fired within 4000 iters; INRIA uses 3000)")
     ap.add_argument("--densify-until", type=int, default=None)
+    ap.add_argument("--densify-from", type=int, default=100)
+    ap.add_argument("--densify-every", type=int, default=100)
+    ap.add_argument("--grad-threshold", type=float, default=2e-4)
+    ap.add_argument("--eval-every", type=int, default=0,
+                    help=">0: render the held-out view every this many "
+                    "iters during training and record the PSNR curve")
     ap.add_argument("--save-ply", default=None,
                     help="write the final model as an INRIA-layout PLY")
     ap.add_argument("--diag", default=None,
@@ -166,10 +172,10 @@ def main():
     t0 = time.time()
     loop = TrainLoopConfig(
         iterations=args.iters,
-        densify_from=100,
+        densify_from=args.densify_from,
         densify_until=(args.densify_until if args.densify_until is not None
                        else args.iters - 100),
-        densify_every=100,
+        densify_every=args.densify_every,
         opacity_reset_every=(args.reset_every if args.reset_every
                              else 10_000),
         sh_upgrade_every=200,
@@ -177,17 +183,34 @@ def main():
         # view-space gradients are accumulated in INRIA's half-viewport
         # units (train_loop scales by W/2, H/2), so the canonical INRIA
         # threshold applies directly at every resolution
-        grad_threshold=2e-4,
+        grad_threshold=args.grad_threshold,
     )
 
     # run the full loop; the loss curve is recorded during training and
     # PSNR evaluated on the final model
     losses = []
+    eval_curve = []
+    next_eval = [args.eval_every]
 
-    def on_log(it, loss, alive):
-        losses.append(
-            {"iter": it, "loss": round(float(loss), 5), "alive": alive})
-        print(f"iter {it:5d} loss {loss:.4f} alive {alive}",
+    def on_log(it, loss, alive, state=None, dstate=None):
+        entry = {"iter": it, "loss": round(float(loss), 5), "alive": alive}
+        if (args.eval_every and state is not None
+                and it >= next_eval[0]):
+            next_eval[0] = it + args.eval_every
+            # render the ARENA (fixed capacity shape — dead slots carry
+            # opacity −∞ and cull), not the compacted model: compacting
+            # would change N every eval and retrigger TPU compilation
+            img_e, aux_e = render(state.params.to_cloud(), held_out_cam,
+                                  w, h, cfg)
+            entry["psnr"] = round(psnr(img_e, held_out_img), 2)
+            entry["overflow"] = int(aux_e["overflow"])
+            entry["pairs"] = int(aux_e["num_pairs"])
+            eval_curve.append({k: entry[k] for k in
+                               ("iter", "psnr", "overflow", "pairs",
+                                "alive")})
+        losses.append(entry)
+        print(f"iter {it:5d} loss {loss:.4f} alive {alive}"
+              + (f" psnr {entry['psnr']}" if "psnr" in entry else ""),
               file=sys.stderr, flush=True)
 
     state, dstate = train(
@@ -217,7 +240,7 @@ def main():
                      iters=6, warmup=2)
 
     final = compact(state.params, dstate)
-    img, _ = render(final.to_cloud(), held_out_cam, w, h, cfg)
+    img, final_aux = render(final.to_cloud(), held_out_cam, w, h, cfg)
     final_psnr = psnr(img, held_out_img)
     train_psnrs = []
     for v in views:
@@ -277,6 +300,13 @@ def main():
         "final_psnr_heldout": round(final_psnr, 2),
         "final_psnr_train_mean": round(float(np.mean(train_psnrs)), 2),
         "final_gaussians": final.num_gaussians,
+        "capacity": int(start.num_gaussians * args.capacity),
+        # binning overflow on the final heldout render: nonzero means the
+        # tier caps / max_per_tile truncated pairs (and their gradients
+        # during training) — the r5 plateau diagnosis surfaces it
+        "final_overflow": int(final_aux["overflow"]),
+        "final_pairs": int(final_aux["num_pairs"]),
+        "eval_curve": eval_curve,
         "loss_curve": losses,
     }
     with open(args.out, "w") as f:
