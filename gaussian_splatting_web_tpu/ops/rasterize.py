@@ -166,6 +166,43 @@ def pack_sorted_fields_split(
     )
 
 
+@jax.custom_jvp
+def _power_bf16x3(u_mat, v_mat):
+    """power[C,K,P] = Σ_b u[P,b]·v[C,K,b] via the SAME three-pass bf16
+    decomposition as the fused kernel's _dot_exact_bf16x3: identical bf16
+    roundings of identical v values and f32-accumulated MXU contractions
+    of the same terms make `power` agree with the kernel TO THE BIT, so
+    the discrete decisions downstream (1/255 cutoff, 0.99 clamp, 1e-4
+    early exit) cannot flip between the two compositor paths. This
+    replaced a precision=HIGHEST f32 einsum whose ~1e-6 disagreement
+    caused the grad-parity max tail (a handful of 0.99-clamp tie flips at
+    ~3e-2; VERDICT r4 item 6). Custom JVP because plain AD would route
+    tangents through the bf16 round-trips (the correction branches cancel
+    them to bf16 precision — measured 0.2-0.7 abs mean2d grad
+    corruption); the true tangent of a rounded-operand matmul is the
+    exact linear map, computed at HIGHEST precision."""
+    ub = u_mat.astype(jnp.bfloat16)
+    v1 = v_mat.astype(jnp.bfloat16)
+    r1 = v_mat - v1.astype(jnp.float32)
+    v2 = r1.astype(jnp.bfloat16)
+    v3 = (r1 - v2.astype(jnp.float32)).astype(jnp.bfloat16)
+    ein = partial(jnp.einsum, "pb,ckb->ckp",
+                  preferred_element_type=jnp.float32)
+    return ein(ub, v1) + ein(ub, v2) + ein(ub, v3)
+
+
+@_power_bf16x3.defjvp
+def _power_bf16x3_jvp(primals, tangents):
+    u, v = primals
+    du, dv = tangents
+    ein = partial(jnp.einsum, "pb,ckb->ckp",
+                  preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+    # du is an instantiated-zeros tangent when u is a constant (the pixel
+    # basis); XLA's simplifier folds the zero contraction away
+    return _power_bf16x3(u, v), ein(u, dv) + ein(du, v)
+
+
 def _composite_chunk(
     tile_ids: jnp.ndarray,          # [C] int32
     sorted_fields: jnp.ndarray,     # [M + K, 9] (pack_sorted_fields)
@@ -259,13 +296,19 @@ def _composite_chunk(
         ],
         axis=-1,
     )                                                       # [C, K, 6]
-    # precision='highest': this stack compiles with
-    # --xla_allow_excess_precision, under which a default-precision f32
-    # contraction may lower to single-pass bf16 on TPU (the ARCHITECTURE.md
-    # "precision trap") — that would corrupt alpha by ~30%
-    power = jnp.einsum("pb,ckb->ckp", u_mat, v_mat,
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)  # [C, K, P]
+    # Three-pass bf16 evaluation, the SAME decomposition as the fused
+    # kernel's _dot_exact_bf16x3 (u is exact in bf16 — small integers):
+    # identical bf16 roundings of identical v values and an f32-accumulated
+    # MXU contraction of the same terms make `power` agree with the kernel
+    # to the bit on TPU (and through interpret mode on CPU) — so the
+    # discrete decisions downstream (1/255 cutoff, 0.99 clamp, 1e-4 early
+    # exit on the carry) cannot flip between the two compositor paths from
+    # power disagreement. This replaced a precision=HIGHEST f32 einsum
+    # whose ~1e-6 disagreement with the kernel caused the grad-parity
+    # max tail (a handful of 0.99-clamp tie flips at ~3e-2; VERDICT r4
+    # item 6). Zero-padding differences in the contracted dim are exact
+    # (adding 0.0 terms), so the 6-row form matches the kernel's 8-row.
+    power = _power_bf16x3(u_mat, v_mat)                  # [C, K, P]
     alpha = jnp.where(
         power >= math.log(config.alpha_cutoff),
         jnp.minimum(jnp.exp(power), config.alpha_max), 0.0)

@@ -36,6 +36,10 @@ class DensifyState:
     grad_accum: jax.Array   # [C] accumulated ||d loss / d mean2d||
     denom: jax.Array        # [C] number of accumulations
     alive: jax.Array        # [C] bool
+    # [C] max projected pixel radius seen since the last densify round —
+    # INRIA's max_radii2D, driving the >20 px screen-size prune (their
+    # prune_points big_points_vs). None = not tracked (legacy states).
+    max_radius2d: jax.Array | None = None
 
     @property
     def capacity(self) -> int:
@@ -43,7 +47,9 @@ class DensifyState:
 
 
 jax.tree_util.register_dataclass(
-    DensifyState, data_fields=["grad_accum", "denom", "alive"], meta_fields=[]
+    DensifyState,
+    data_fields=["grad_accum", "denom", "alive", "max_radius2d"],
+    meta_fields=[],
 )
 
 
@@ -69,19 +75,26 @@ def pad_to_capacity(model: GaussianModel, capacity: int
     )
     alive = jnp.arange(capacity) < n
     zeros = jnp.zeros((capacity,), jnp.float32)
-    return padded, DensifyState(grad_accum=zeros, denom=zeros, alive=alive)
+    return padded, DensifyState(grad_accum=zeros, denom=zeros, alive=alive,
+                                max_radius2d=zeros)
 
 
 def accumulate_stats(state: DensifyState, d_mean2d: jnp.ndarray,
-                     visible: jnp.ndarray) -> DensifyState:
+                     visible: jnp.ndarray,
+                     radius2d: jnp.ndarray | None = None) -> DensifyState:
     """Add this step's screen-space positional gradient norms for visible
-    splats (INRIA add_densification_stats)."""
+    splats (INRIA add_densification_stats), and max-accumulate the
+    projected pixel radius (INRIA's per-iteration max_radii2D update)."""
     norm = jnp.linalg.norm(d_mean2d, axis=-1)
     vis = visible & state.alive
+    mr = state.max_radius2d
+    if mr is not None and radius2d is not None:
+        mr = jnp.maximum(mr, jnp.where(vis, radius2d, 0.0))
     return DensifyState(
         grad_accum=state.grad_accum + jnp.where(vis, norm, 0.0),
         denom=state.denom + vis.astype(jnp.float32),
         alive=state.alive,
+        max_radius2d=mr,
     )
 
 
@@ -105,6 +118,7 @@ def densify_and_prune(
     scene_extent: float = 1.0,
     min_opacity: float = 0.005,
     max_world_radius_frac: float | None = None,
+    max_screen_size: float | jax.Array | None = None,
 ) -> Tuple[GaussianModel, DensifyState, jax.Array]:
     """One INRIA densification round (jittable, fixed shapes).
 
@@ -202,6 +216,14 @@ def densify_and_prune(
             jnp.exp(jnp.max(new_model.log_scale, axis=-1))
             > max_world_radius_frac * scene_extent
         )
+    if max_screen_size is not None and state.max_radius2d is not None:
+        # INRIA's big_points_vs prune: splats whose projected radius
+        # exceeded max_screen_size px (20 in the paper) since the last
+        # round. At low render resolutions this is the pressure that
+        # stops the model fitting with screen-filling blobs; may be a
+        # traced scalar (inf = disabled) so callers can gate it by
+        # iteration without recompiling.
+        dead = dead | (state.max_radius2d > max_screen_size)
     changed = changed | (alive & dead)
     alive = alive & ~dead
 
@@ -214,7 +236,9 @@ def densify_and_prune(
     zeros = jnp.zeros((c,), jnp.float32)
     return (
         new_model,
-        DensifyState(grad_accum=zeros, denom=zeros, alive=alive),
+        DensifyState(grad_accum=zeros, denom=zeros, alive=alive,
+                     max_radius2d=(None if state.max_radius2d is None
+                                   else zeros)),
         changed,
     )
 

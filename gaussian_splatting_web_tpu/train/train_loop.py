@@ -91,6 +91,20 @@ class TrainLoopConfig:
     grad_threshold: float = 2e-4
     percent_dense: float = 0.01
     min_opacity: float = 0.005
+    # INRIA prunes world-space-huge gaussians (scales.max > 0.1·extent)
+    # once training is past the first opacity reset — without it, splats
+    # that drift large stay large (and at low render resolutions their
+    # footprints can exceed the binning caps, zeroing their gradients — a
+    # ratchet: they can never shrink back; the r5 training-plateau
+    # diagnosis measured 42k/64k splats overflowing). None disables.
+    world_radius_frac: float | None = 0.1
+    world_prune_from: int = 3000
+    # INRIA's max_screen_size prune (20 px): splats whose projected
+    # radius exceeded this since the last densify round are pruned, past
+    # world_prune_from. The screen-space counterpart of the world-radius
+    # prune — at low render resolutions this is the pressure that stops
+    # the fit degenerating into screen-filling blobs. None disables.
+    screen_size_px: float | None = 20.0
     lambda_dssim: float = 0.2
     capacity_factor: float = 4.0   # arena size as multiple of initial N
     log_every: int = 50
@@ -137,7 +151,7 @@ def make_densify_train_step(
         bg = jnp.asarray(config.background, dtype=rgb.dtype)
         img = rgb + (1.0 - alpha[..., None]) * bg
         loss = photometric_loss(img, target, lambda_dssim)
-        return loss, splats.valid
+        return loss, (splats.valid, splats.radius)
 
     from functools import partial
 
@@ -145,7 +159,7 @@ def make_densify_train_step(
     def step(state: TrainState, dstate: DensifyState, camera: CameraParams,
              target: jnp.ndarray, sh_degree: int):
         vs_aux = jnp.zeros((state.params.num_gaussians, 2), jnp.float32)
-        (loss, visible), (g_params, g_vs) = jax.value_and_grad(
+        (loss, (visible, radius2d)), (g_params, g_vs) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
         )(state.params, vs_aux, camera, target, sh_degree)
 
@@ -163,7 +177,7 @@ def make_densify_train_step(
         # train-at-scale underfit: 2000→2282 splats in 3000 iters).
         g_vs = g_vs * jnp.asarray([width * 0.5, height * 0.5],
                                   jnp.float32)
-        dstate = accumulate_stats(dstate, g_vs, visible)
+        dstate = accumulate_stats(dstate, g_vs, visible, radius2d=radius2d)
         return (
             TrainState(params=params, opt_state=opt_state,
                        step=state.step + 1),
@@ -229,12 +243,16 @@ def train(
     step_fn = make_densify_train_step(
         optimizer, width, height, render_config, loop.lambda_dssim
     )
-    densify_jit = jax.jit(lambda m, d, k: densify_and_prune(
+    # the big-splat prune thresholds are TRACED scalars (inf = disabled)
+    # so toggling them at world_prune_from doesn't recompile
+    densify_jit = jax.jit(lambda m, d, k, wr, ss: densify_and_prune(
         m, d, k,
         grad_threshold=loop.grad_threshold,
         percent_dense=loop.percent_dense,
         scene_extent=extent,
         min_opacity=loop.min_opacity,
+        max_world_radius_frac=wr,
+        max_screen_size=ss,
     ))
 
     key = jax.random.PRNGKey(loop.seed)
@@ -296,7 +314,16 @@ def train(
         if (loop.densify_from <= it <= loop.densify_until
                 and it % loop.densify_every == 0):
             key, sub = jax.random.split(key)
-            new_params, dstate, changed = densify_jit(state.params, dstate, sub)
+            late = it >= loop.world_prune_from
+            wr = (loop.world_radius_frac
+                  if (loop.world_radius_frac is not None and late)
+                  else np.inf)
+            ss = (loop.screen_size_px
+                  if (loop.screen_size_px is not None and late)
+                  else np.inf)
+            new_params, dstate, changed = densify_jit(
+                state.params, dstate, sub, jnp.float32(wr),
+                jnp.float32(ss))
             state = TrainState(
                 params=new_params,
                 opt_state=reset_opt_rows(state.opt_state, changed),

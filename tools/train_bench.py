@@ -63,7 +63,8 @@ def main():
         args.views = 16
         if args.iters == 600:
             args.iters = 1500
-        args.out = "train_bench_scale.json"
+        if args.out == "train_bench.json":   # don't clobber an explicit --out
+            args.out = "train_bench_scale.json"
 
     if args.cpu:
         import jax
@@ -113,7 +114,15 @@ def main():
     enable_compile_cache()
     w, h = args.width, args.height
     if args.scale:
-        cfg = RenderConfig(max_dup=32, max_per_tile=512, tile_chunk=8)
+        # Training configs bin EXACTLY (single tier, generous footprint
+        # cap): the inference-tuned tier caps (mid_frac/big_frac) drop
+        # whole splats once a training run densifies into many large
+        # footprints, and dropped splats get zero gradient — they can
+        # never shrink back (the r5 plateau diagnosis: 42k of 64k splats
+        # overflowed, train_bench_scale r5a eval_curve). At training
+        # resolutions the exact slot grid is cheap.
+        cfg = RenderConfig(max_dup=64, max_per_tile=1024, tile_chunk=8,
+                           tier_split=0)
         # ground truth: a 4k-splat SH-3 cloud — recoverable by the INRIA
         # recipe (the target IS a gaussian mixture) yet big enough that
         # the fit must densify into the thousands. Scales are capture-like
