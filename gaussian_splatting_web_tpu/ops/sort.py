@@ -483,6 +483,31 @@ def bin_splats(
     d = config.max_dup
 
     x0, y0, rw, rh = _footprints(splats, width, height, config)
+    # Center-preserving footprint shrink: a splat whose rect exceeds
+    # max_dup tiles used to be truncated to its first d slots in ROW-MAJOR
+    # order — the top band of its bbox — putting a hard horizontal edge
+    # through every oversized splat. During training that corrupts the
+    # rendered TARGETS themselves (the r5 exact-binning run's ground-truth
+    # images banded, capping PSNR at ~13 regardless of fit quality).
+    # Instead shrink the rect around its center by √(d/ntg): the splat
+    # renders its central core (where the Gaussian mass is), stays
+    # differentiable everywhere it is visible, and recovers exactness as
+    # soon as it shrinks below d tiles. Shrunk splats are counted in
+    # `overflow` (same observability as the old truncation count).
+    ntg_raw = rw * rh
+    _over = ntg_raw > d
+    _sf = jnp.sqrt(d / jnp.maximum(ntg_raw, 1).astype(jnp.float32))
+    _rw2 = jnp.clip(jnp.floor(rw.astype(jnp.float32) * _sf)
+                    .astype(jnp.int32), 1, d)
+    # floor() keeps rw2·rh2 ≤ rw·rh·sf² = d except through the 1-clamps;
+    # the division cap restores the invariant in those corner cases
+    _rh2 = jnp.clip(jnp.floor(rh.astype(jnp.float32) * _sf)
+                    .astype(jnp.int32), 1,
+                    jnp.maximum(d // jnp.maximum(_rw2, 1), 1))
+    x0 = jnp.where(_over, x0 + (rw - _rw2) // 2, x0)
+    y0 = jnp.where(_over, y0 + (rh - _rh2) // 2, y0)
+    rw = jnp.where(_over, _rw2, rw)
+    rh = jnp.where(_over, _rh2, rh)
     ntg_full = rw * rh
     ts = config.tile_size
     exact_tile_test = config.radius_sigma <= 0 and config.tile_cull
@@ -570,7 +595,7 @@ def bin_splats(
         )
         tiers = [(tile_a, live_a, gidx_a, splats.depth)]
         payload_parts = [[p] for p in tier_payloads(field_cols, tile_a)]
-        overflow = jnp.sum((ntg_full > d).astype(jnp.int32))
+        overflow = jnp.sum(_over.astype(jnp.int32))
         num_pairs = jnp.sum(live_a.astype(jnp.int32))
 
         # Compaction via ONE stable class sort, not jnp.nonzero: nonzero's
@@ -674,7 +699,7 @@ def bin_splats(
         gidx = jnp.broadcast_to(
             jnp.arange(n, dtype=jnp.int32)[None, :], (d, n)
         )
-        overflow = jnp.sum((ntg_full > d).astype(jnp.int32))
+        overflow = jnp.sum(_over.astype(jnp.int32))
         num_pairs = jnp.sum(live.astype(jnp.int32))
         tiers = [(tile_id, live, gidx, splats.depth)]
         field_payloads = tuple(tier_payloads(field_cols, tile_id))

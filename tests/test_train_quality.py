@@ -56,6 +56,9 @@ def test_train_from_random_init_reaches_psnr_floor():
         for v in views
     ]
     # learning must be substantial and absolute quality reasonable for a
-    # 150-iteration run (calibrated against tools/train_bench.py runs)
+    # 150-iteration run. Floor calibrated r5 across init seeds 42/3/17:
+    # 23.29 / 24.55 / 23.39 dB — 21.0 keeps ~2 dB of seed margin while
+    # catching any real gradient/densify regression (the old 17.0 floor
+    # would have passed a 23→17.5 regression; VERDICT r4 item 3).
     assert np.mean(final_psnrs) > np.mean(init_psnrs) + 3.0
-    assert np.mean(final_psnrs) > 17.0
+    assert np.mean(final_psnrs) > 21.0

@@ -121,8 +121,12 @@ def main():
         # never shrink back (the r5 plateau diagnosis: 42k of 64k splats
         # overflowed, train_bench_scale r5a eval_curve). At training
         # resolutions the exact slot grid is cheap.
+        # gather_cap_factor 8: the default 3·N pair cap (inference-tuned)
+        # truncated whole far tiles mid-run (pairs pinned at 192k while
+        # the scene wanted ~300k — r5 eval_curve), silently deleting image
+        # regions and their gradients
         cfg = RenderConfig(max_dup=64, max_per_tile=1024, tile_chunk=8,
-                           tier_split=0)
+                           tier_split=0, gather_cap_factor=8.0)
         # ground truth: a 4k-splat SH-3 cloud — recoverable by the INRIA
         # recipe (the target IS a gaussian mixture) yet big enough that
         # the fit must densify into the thousands. Scales are capture-like
